@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Local-mode defaults mirror what we would set cluster-side: AQE on (runtime
+coalesce + skew-join), shuffle partitions sized to cores not the 200
+default, Arrow enabled for every pandas-UDF boundary, UTC session TZ so
+TTL/expiry arithmetic is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "scrape_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master.startswith("local[") and shuffle_partitions is None:
+        inner = master[len("local[") : -1]
+        if inner.isdigit():
+            shuffle_partitions = int(inner)
+        elif cpus and cpus.isdigit():
+            shuffle_partitions = int(cpus)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
