@@ -1,0 +1,164 @@
+"""Main-text + metadata extraction (SURVEY.md §2.9, M3).
+
+The reference delegates this to go-trafilatura with fixed options
+(fetch/trafilatura/fetcher.go:89-95) and pins the *output of its chosen
+library version* with committed golden files (fetch/trafilatura/smoker.html,
+internal/test_support/ars-2003724.json). We do the same with our own
+extractor: a deterministic, versioned extraction spec (EXTRACT_SPEC_VERSION)
+whose output is pinned byte-for-byte by committed goldens in
+tests/goldens/ — the per-row invariant required by BASELINE.json.
+
+Implementation is an Arrow-batched ``mapInPandas`` where every step is a
+vectorized pandas ``.str`` regex operation (C-level, no per-row Python):
+sniff → scope (<article> else <body>) → strip boilerplate blocks → block
+tags to newlines → strip tags → unescape entities → collapse whitespace.
+Metadata comes from <meta>/<title>/<link rel=license> via vectorized
+``.str.extract``. Field mapping mirrors applyExtractResult
+(fetch/trafilatura/fetcher.go:108-135): authors split on ';' (K7), og:url
+becomes the canonical URL, missing canonical falls back to the fetch URL.
+
+Error rows are data (F2/F4): non-HTML bytes yield a 415-class error string
+and null metadata — the row always flows on.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+EXTRACT_SPEC_VERSION = 1
+
+# Output columns appended by the extractor.
+EXTRACT_FIELDS = [
+    T.StructField("canonical_url", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("sitename", T.StringType(), True),
+    T.StructField("author", T.StringType(), True),  # raw; split via author_split
+    T.StructField("date", T.TimestampType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+    T.StructField("language", T.StringType(), True),
+    T.StructField("image", T.StringType(), True),
+    T.StructField("page_type", T.StringType(), True),
+    T.StructField("license", T.StringType(), True),
+    T.StructField("content_text", T.StringType(), True),
+    T.StructField("links", T.ArrayType(T.StringType()), True),
+    T.StructField("extract_error", T.StringType(), True),
+]
+
+_META_NAME = r'<meta\s+name="{k}"\s+content="([^"]*)"'
+_META_PROP = r'<meta\s+property="{k}"\s+content="([^"]*)"'
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+             ("&nbsp;", " "), ("&copy;", "©"), ("&amp;", "&")]  # &amp; LAST
+
+
+def _unescape(s: pd.Series) -> pd.Series:
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
+def _meta(h: pd.Series, pattern: str, key: str) -> pd.Series:
+    return _unescape(h.str.extract(pattern.format(k=re.escape(key)), expand=False))
+
+
+def extract_batch(html: pd.Series) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch of raw page bytes."""
+    n = len(html)
+    raw = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    raw = pd.Series(raw, dtype="string")
+
+    looks_html = raw.str.match(r"\s*<").fillna(False)
+    err = pd.Series([None] * n, dtype=object)
+    err[~looks_html] = "unsupported content type: not html"
+    h = raw.where(looks_html, "")
+
+    title = _unescape(
+        h.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
+    ).str.strip()
+    canonical = _meta(h, _META_PROP, "og:url")
+    description = _meta(h, _META_NAME, "description")
+    sitename = _meta(h, _META_PROP, "og:site_name")
+    author = _meta(h, _META_NAME, "author")
+    image = _meta(h, _META_PROP, "og:image")
+    page_type = _meta(h, _META_PROP, "og:type")
+    date_raw = _meta(h, _META_PROP, "article:published_time")
+    date = pd.to_datetime(date_raw, errors="coerce", utc=True).dt.tz_localize(None)
+    keywords = _meta(h, _META_NAME, "keywords")
+    section = _meta(h, _META_PROP, "article:section")
+    license_url = h.str.extract(r'<link\s+rel="license"\s+href="([^"]*)"', expand=False)
+    language = h.str.extract(r'<html[^>]*\slang="([^"]*)"', expand=False)
+
+    tags = keywords.map(
+        lambda s: [t.strip() for t in s.split(",") if t.strip()] if isinstance(s, str) else None
+    )
+    categories = section.map(lambda s: [s] if isinstance(s, str) and s else None)
+
+    # ---- main text ----
+    body = h.str.replace(r"(?s)<!--.*?-->", "", regex=True)
+    body = body.str.replace(r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", "", regex=True)
+    scoped = body.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
+    fallback = body.str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
+    scoped = scoped.fillna(fallback).fillna(body)
+    scoped = scoped.str.replace(
+        r"(?is)<(nav|aside|footer|header|form)[^>]*>.*?</\1>", "", regex=True
+    )
+    scoped = scoped.str.replace(r"(?i)</(p|h[1-6]|li|tr|div|blockquote)>|<br\s*/?>", "\n", regex=True)
+    scoped = scoped.str.replace(r"(?s)<[^>]+>", " ", regex=True)
+    scoped = _unescape(scoped)
+    scoped = scoped.str.replace(r"[ \t\r\f\v]+", " ", regex=True)
+    scoped = scoped.str.replace(r" ?\n ?", "\n", regex=True)
+    scoped = scoped.str.replace(r"\n{2,}", "\n", regex=True)
+    content = scoped.str.strip().astype(object)
+    content[~looks_html] = None
+
+    links = h.str.findall(r'<a\s[^>]*href="(https?://[^"]+)"')
+    links = links.map(lambda xs: list(xs) if isinstance(xs, list) else [])
+
+    def _nul(s: pd.Series) -> pd.Series:
+        s = s.astype(object).where(s.notna(), None)
+        s[~looks_html] = None
+        return s
+
+    return pd.DataFrame(
+        {
+            "canonical_url": _nul(canonical),
+            "title": _nul(title),
+            "description": _nul(description),
+            "sitename": _nul(sitename),
+            "author": _nul(author),
+            "date": date.where(looks_html, None),
+            "categories": categories.where(looks_html, None),
+            "tags": tags.where(looks_html, None),
+            "language": _nul(language),
+            "image": _nul(image),
+            "page_type": _nul(page_type),
+            "license": _nul(pd.Series(license_url, dtype=object)),
+            "content_text": content,
+            "links": links.where(looks_html, None),
+            "extract_error": err,
+        }
+    )
+
+
+def extract_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append extraction columns; passes through every input column except
+    the raw html bytes (dropped post-extraction — the reference never stores
+    bodies either, SURVEY.md §1.2)."""
+    passthrough = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = T.StructType(passthrough + EXTRACT_FIELDS)
+    pass_names = [f.name for f in passthrough]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ext = extract_batch(pdf[html_col])
+            base = pdf[pass_names].reset_index(drop=True)
+            yield pd.concat([base, ext], axis=1)
+
+    return df.mapInPandas(run, schema=out_schema)

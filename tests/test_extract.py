@@ -1,0 +1,92 @@
+"""Extraction golden tests — the byte-identity invariant (BASELINE.json):
+extracted text per url must match the committed goldens exactly, through the
+full distributed Spark path, under any partitioning.
+
+Analog of the reference's smoker/ars golden tests
+(fetch/trafilatura/fetcher_test.go:113-178; internal/scrape_test.go:31-140).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from scrape_spark.operators.extract import extract_pages
+from scrape_spark.sources.pages import synth_pages
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "extract_golden.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN, encoding="utf-8") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, golden):
+    df = synth_pages(
+        spark, golden["n_hosts"], golden["per_host"], partitions=7
+    )  # deliberately odd partitioning
+    rows = extract_pages(df).collect()
+    return {r.url: r for r in rows}
+
+
+def test_every_golden_url_present(golden, extracted):
+    assert set(golden["pages"]) == set(extracted)
+
+
+def test_content_text_byte_identical(golden, extracted):
+    for url, want in golden["pages"].items():
+        got = extracted[url]
+        assert got.content_text == want["content_text"], url
+
+
+def test_metadata_fields_identical(golden, extracted):
+    for url, want in golden["pages"].items():
+        got = extracted[url]
+        for f in (
+            "canonical_url", "title", "description", "sitename", "author",
+            "language", "image", "page_type", "license", "extract_error",
+        ):
+            assert getattr(got, f) == want[f], (url, f)
+        assert (got.categories or None) == want["categories"], url
+        assert (got.tags or None) == want["tags"], url
+        assert (got.links or None) == (want["links"] or None), url
+        got_date = got.date.isoformat() if got.date is not None else None
+        assert got_date == want["date"], url
+
+
+def test_error_rows_are_data(golden, extracted):
+    errs = [u for u, w in golden["pages"].items() if w["extract_error"]]
+    assert errs, "corpus must contain non-HTML pages"
+    for u in errs:
+        r = extracted[u]
+        assert r.extract_error == "unsupported content type: not html"
+        assert r.content_text is None and r.title is None
+
+
+def test_alias_pages_point_at_clean_canonical(extracted):
+    amps = {u: r for u, r in extracted.items() if u.endswith("/amp")}
+    assert amps
+    for u, r in amps.items():
+        assert r.canonical_url == u[: -len("/amp")]
+
+
+def test_kernel_determinism_no_spark(golden):
+    # The pure-pandas kernel reproduces the goldens too (no Spark involved).
+    from scrape_spark.operators.extract import extract_batch
+    from scrape_spark.sources.pages import _gen_batch
+
+    corpus = _gen_batch(
+        pd.DataFrame({"id": range(golden["n_hosts"] * golden["per_host"])}),
+        golden["n_hosts"],
+        golden["per_host"],
+    )
+    ext = extract_batch(corpus["html"])
+    for i in range(len(corpus)):
+        url = corpus["url"].iloc[i]
+        assert ext.iloc[i].content_text == golden["pages"][url]["content_text"], url
