@@ -1,0 +1,160 @@
+"""UrlStore semantics — mirrors internal/storage/storage_test.go:
+save/fetch round-trip, REPLACE last-write-wins, TTL expiry ⇒ not-found,
+alias map w/ self-referential rows, canonical-only delete, clear,
+snapshot time travel (our addition)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.functions.urlkeys import clean_url_py, url_key_py
+from scrape_spark.operators.store import UrlStore
+from scrape_spark.schemas import RESULT_SCHEMA
+
+
+def _result_row(url, canonical=None, title="t", error=None, fetch_time=None, expires=None):
+    parsed = clean_url_py(url)
+    canonical = canonical or parsed
+    return {
+        "key": url_key_py(canonical),
+        "url": canonical,
+        "parsed_url": parsed,
+        "original_url": url,
+        "fetch_time": fetch_time,
+        "fetch_method": 1,
+        "expires": expires,
+        "status_code": 200,
+        "error": error,
+        "hostname": None,
+        "title": title,
+        "description": None,
+        "sitename": None,
+        "authors": ["A"],
+        "date": None,
+        "categories": None,
+        "tags": None,
+        "language": "en",
+        "image": None,
+        "page_type": None,
+        "license": None,
+        "content_text": f"content of {url}",
+    }
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return UrlStore(spark, str(tmp_path / "store"), n_buckets=8, ttl_seconds=3600)
+
+
+def _merge(spark, store, rows):
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    return store.merge(df)
+
+
+def test_save_fetch_roundtrip(spark, store):
+    url = "https://example.com/a?utm_source=x&b=2"
+    _merge(spark, store, [_result_row(url)])
+    got = store.fetch([url]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.url == "https://example.com/a?b=2"
+    assert r.original_url == url
+    assert r.content_text == f"content of {url}"
+    assert r.fetch_time is not None and r.expires is not None
+    # default TTL stamped at save
+    assert (r.expires - r.fetch_time).total_seconds() == 3600
+
+
+def test_replace_last_write_wins(spark, store):
+    url = "https://example.com/lw"
+    t1 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2026, 1, 1, 11, 0, 0)
+    _merge(spark, store, [_result_row(url, title="old", fetch_time=t1,
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row(url, title="new", fetch_time=t2,
+                                      expires=dt.datetime(2099, 1, 1))])
+    got = store.fetch([url]).collect()
+    assert len(got) == 1 and got[0].title == "new"
+    assert store.urls.read().filter(F.col("parsed_url") == url).count() == 1
+
+
+def test_expired_is_not_found(spark, store):
+    url = "https://example.com/exp"
+    past = dt.datetime(2020, 1, 1)
+    _merge(spark, store, [_result_row(url, fetch_time=past,
+                                      expires=dt.datetime(2020, 1, 31))])
+    assert store.fetch([url]).count() == 0
+    # but the row physically exists until maintenance runs (lazy expiry)
+    assert store.urls.read().count() == 1
+    store.maintain()
+    assert store.urls.read().count() == 0
+
+
+def test_alias_resolution_and_self_mapping(spark, store):
+    requested = "https://example.com/amp-page/amp"
+    canonical = "https://example.com/amp-page"
+    _merge(spark, store, [_result_row(requested, canonical=canonical)])
+    # lookup via the requested URL resolves through id_map to the canonical row
+    got = store.fetch([requested]).collect()
+    assert len(got) == 1 and got[0].url == canonical
+    # canonical URL lookup works via direct-key fallback
+    got2 = store.fetch([canonical]).collect()
+    assert len(got2) == 1
+    # self-referential mapping also stored
+    ids = {(r.requested_id, r.canonical_id) for r in store.id_map.read().collect()}
+    assert (url_key_py(requested), url_key_py(canonical)) in ids
+
+
+def test_error_rows_never_stored(spark, store):
+    _merge(spark, store, [_result_row("https://example.com/err", error="HTTP error: status code 404")])
+    assert store.urls.read().count() == 0
+
+
+def test_canonical_only_delete(spark, store):
+    requested = "https://example.com/x/amp"
+    canonical = "https://example.com/x"
+    _merge(spark, store, [_result_row(requested, canonical=canonical)])
+    n_aliases = store.id_map.read().count()
+    store.delete([requested])
+    assert store.urls.read().count() == 0
+    # alias rows are NOT deleted (storage_test.go:161-174)
+    assert store.id_map.read().count() == n_aliases
+
+
+def test_clear(spark, store):
+    _merge(spark, store, [_result_row("https://example.com/c")])
+    store.clear()
+    assert store.urls.read().count() == 0
+    assert store.id_map.read().count() == 0
+
+
+def test_snapshot_time_travel(spark, store):
+    _merge(spark, store, [_result_row("https://example.com/v1", title="one",
+                                      expires=dt.datetime(2099, 1, 1))])
+    snap1 = store.urls.current_snapshot()
+    _merge(spark, store, [_result_row("https://example.com/v1", title="two",
+                                      expires=dt.datetime(2099, 1, 1)),
+                          _result_row("https://example.com/v2",
+                                      expires=dt.datetime(2099, 1, 1))])
+    old = store.urls.read(snapshot=snap1)
+    new = store.urls.read()
+    assert old.count() == 1 and new.count() == 2
+    assert old.collect()[0].title == "one"
+    titles = {r.title for r in new.filter(F.col("parsed_url") == "https://example.com/v1").collect()}
+    assert titles == {"two"}
+
+
+def test_merge_prunes_buckets(spark, store):
+    # A single-key merge must not rewrite untouched buckets' files.
+    urls = [f"https://example.com/p{i}" for i in range(40)]
+    _merge(spark, store, [_result_row(u, expires=dt.datetime(2099, 1, 1)) for u in urls])
+    man_before = store.urls._load_manifest()["files"]
+    _merge(spark, store, [_result_row("https://example.com/p0", title="again",
+                                      expires=dt.datetime(2099, 1, 1))])
+    man_after = store.urls._load_manifest()["files"]
+    k0_bucket = str(url_key_py("https://example.com/p0") % 8)
+    changed = {b for b in man_after if man_after.get(b) != man_before.get(b)}
+    assert changed == {k0_bucket}
