@@ -1,0 +1,190 @@
+"""The flagship end-to-end plan (SURVEY.md §3.1, M4): batch fetch+extract
+with memoization — the Spark re-expression of StorageBackedFetcher.Batch
+(internal/scrape.go:100-124).
+
+One declarative job per batch:
+
+    requests → validate (malformed ⇒ error row, F10)
+             → canonicalize (F1) → key (K1) → in-flight dedupe (J4)
+             → alias-resolve (J1) → cache split vs fresh store (J2: one left
+               join consumed twice — semi ≙ hits, anti ≙ misses)
+             → misses ⋈ pages table (the network-free fetch stage, S1)
+               → extract (M3) → error taxonomy (F2/F4)
+             → hits ∪ fetched (U1) → MERGE INTO store (S9) → results
+
+Scale notes: the cache-split join is key-equi on `key long` (never URL
+strings, O1); the pages join prunes to (url, html) columns at the scan; the
+store read is bucket-manifest-backed so only fresh files are opened. Output
+order is not guaranteed (parity: internal/scrape.go:98-99) — consumers that
+need determinism sort by (key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrape_spark.functions.textfns import (
+    author_split,
+    expires_at,
+    stamp_fetch_time,
+    status_error,
+)
+from scrape_spark.functions.urlkeys import clean_url, hostname_col, url_key
+from scrape_spark.operators.extract import extract_pages
+from scrape_spark.operators.store import UrlStore
+from scrape_spark.schemas import FETCH_METHOD_DIRECT, RESULT_SCHEMA
+
+_VALID_URL = r"^https?://[^/?#]+"
+
+RESULT_COLS = RESULT_SCHEMA.fieldNames()
+
+
+def prepare_requests(requests: DataFrame, url_col: str = "url") -> DataFrame:
+    """Validate + canonicalize + key a batch of requested URLs.
+    Malformed URLs never kill the job — they become error rows (F10,
+    reference: internal/scrape.go:170-177, api/payloads.go:27-49)."""
+    req = requests.select(F.col(url_col).alias("original_url"))
+    req = req.withColumn("__valid", F.col("original_url").rlike(_VALID_URL))
+    req = req.withColumn(
+        "parsed_url",
+        F.when(F.col("__valid"), clean_url("original_url")),
+    ).withColumn(
+        "key", F.when(F.col("__valid"), url_key("parsed_url"))
+    ).withColumn(
+        "request_error",
+        F.when(~F.col("__valid"), F.concat(F.lit("invalid url: "), F.col("original_url"))),
+    ).drop("__valid")
+    return req
+
+
+def _as_result(df: DataFrame) -> DataFrame:
+    return df.select(*[F.col(c) for c in RESULT_COLS])
+
+
+def fetch_and_extract(misses: DataFrame, pages: DataFrame, ttl_seconds: int) -> DataFrame:
+    """The 'network' stage: equi-join against the pages corpus (absent ⇒ 404
+    error row), then vectorized extraction. Returns RESULT_SCHEMA rows."""
+    corpus = pages.select(F.col("url").alias("__page_url"), "html")
+    joined = misses.join(
+        corpus, misses["parsed_url"] == corpus["__page_url"], "left"
+    )
+    extracted = extract_pages(joined, html_col="html")
+
+    found = F.col("__page_url").isNotNull()
+    canonical = F.coalesce(F.col("canonical_url"), F.col("parsed_url"))
+    status = F.when(found, F.lit(200)).otherwise(F.lit(404)).cast("int")
+    error = F.coalesce(
+        F.col("request_error"),
+        F.when(~found, status_error(status)),
+        F.col("extract_error"),
+    )
+
+    out = (
+        extracted.withColumn("status_code", status)
+        .withColumn("error", error)
+        .withColumn("url", canonical)
+        .withColumn("key", F.when(error.isNull(), url_key(canonical)).otherwise(F.col("key")))
+        .withColumn("hostname", hostname_col(F.col("url")))
+        .withColumn("fetch_time", stamp_fetch_time())
+        .withColumn("fetch_method", F.lit(FETCH_METHOD_DIRECT))
+        .withColumn("expires", expires_at("fetch_time", ttl_seconds))
+        .withColumn("authors", author_split("author"))
+    )
+    return _as_result(out)
+
+
+def batch_extract(
+    spark: SparkSession,
+    requests: DataFrame,
+    pages: DataFrame,
+    store: UrlStore | None = None,
+    save: bool = True,
+) -> DataFrame:
+    """Full batch pipeline. With a store: memoized (hits skip the fetch stage
+    and keep their stored fetch_time — parity with internal/scrape_test.go's
+    cache-hit stability assertion); without: straight fetch+extract."""
+    req = prepare_requests(requests)
+    # In-flight dedupe by requested key — strictly stronger than the
+    # reference's REPLACE-race (SURVEY §2.8), same observable store state.
+    req = req.dropDuplicates(["key"])
+
+    if store is None:
+        results = fetch_and_extract(req, pages, ttl_seconds=30 * 24 * 3600)
+        return results
+
+    resolved = store.resolve_keys(req)
+    fresh = store.urls.read().filter(F.col("expires") > F.current_timestamp())
+    fresh = fresh.select([F.col(c).alias(f"s_{c}") for c in fresh.columns])
+    joined = resolved.join(
+        fresh, resolved["canonical_key"] == fresh["s_key"], "left"
+    ).cache()
+
+    hits = joined.filter(F.col("s_key").isNotNull())
+    hit_results = _as_result(
+        hits.select(
+            F.col("s_key").alias("key"),
+            F.col("s_url").alias("url"),
+            F.col("s_parsed_url").alias("parsed_url"),
+            F.col("original_url"),
+            F.col("s_fetch_time").alias("fetch_time"),
+            F.col("s_fetch_method").alias("fetch_method"),
+            F.col("s_expires").alias("expires"),
+            F.col("s_status_code").alias("status_code"),
+            F.col("s_error").alias("error"),
+            F.col("s_hostname").alias("hostname"),
+            F.col("s_title").alias("title"),
+            F.col("s_description").alias("description"),
+            F.col("s_sitename").alias("sitename"),
+            F.col("s_authors").alias("authors"),
+            F.col("s_date").alias("date"),
+            F.col("s_categories").alias("categories"),
+            F.col("s_tags").alias("tags"),
+            F.col("s_language").alias("language"),
+            F.col("s_image").alias("image"),
+            F.col("s_page_type").alias("page_type"),
+            F.col("s_license").alias("license"),
+            F.col("s_content_text").alias("content_text"),
+        )
+    )
+
+    misses = joined.filter(F.col("s_key").isNull()).select(
+        "original_url", "parsed_url", "key", "request_error"
+    )
+    fetched = fetch_and_extract(misses, pages, store.ttl_seconds)
+
+    results = hit_results.unionByName(fetched)
+    if save:
+        results = results.cache()
+        store.merge(results)
+    return results
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter: wrap the driver's `documents` table as a pages corpus
+    (vectorized column concat — used by entry() so the flagship plan runs
+    directly over /root/testdata parquet)."""
+    url = F.concat(
+        F.lit("https://doc"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".test/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<!DOCTYPE html>\n<html lang="'), F.col("lang"),
+        F.lit('">\n<head>\n<title>Document '), F.col("doc_id").cast("string"),
+        F.lit('</title>\n<meta name="description" content="doc from '), F.col("source"),
+        F.lit('">\n<meta name="author" content="Gen '), F.col("source"),
+        F.lit('">\n<meta property="og:site_name" content="'), F.col("source"),
+        F.lit('">\n<meta property="og:url" content="'), url,
+        F.lit('">\n<meta property="og:type" content="article">\n</head>\n<body>\n<article>\n<h1>Document '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"), F.col("text"), F.lit("</p>\n</article>\n</body>\n</html>\n"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,99 @@
+"""End-to-end flagship plan tests — analog of internal/scrape_test.go:
+batch fetch+extract through the store: utm-strip, alias resolution, dedupe,
+error rows, cache hits with stable fetch_time, errors never stored."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.store import UrlStore
+from scrape_spark.plans.batch_extract import batch_extract
+from scrape_spark.sources.pages import page_url, synth_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, n_hosts=5, per_host=60).cache()
+    df.count()
+    return df
+
+
+def _req_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+def test_batch_end_to_end(spark, pages, tmp_path):
+    store = UrlStore(spark, str(tmp_path / "s"), n_buckets=8)
+    urls = [
+        page_url(0, 1),
+        page_url(0, 1) + "?utm_source=feed",       # dupes to the same key
+        page_url(1, 2),
+        page_url(2, 11) + "/amp",                  # alias page → canonical
+        page_url(3, 5),
+        "https://missing.test/nope",               # 404 error row
+        "not a url",                               # invalid → error row
+        page_url(0, 37),                           # binary page → 415-class row
+    ]
+    out = batch_extract(spark, _req_df(spark, urls), pages, store).cache()
+    rows = {r.original_url: r for r in out.collect()}
+
+    # utm dupe collapsed in-flight: only one of the two forms present
+    assert len(rows) == len(urls) - 1
+
+    ok = rows[page_url(1, 2)]
+    assert ok.error is None and ok.status_code == 200
+    assert ok.content_text and ok.title
+    assert ok.hostname == "h00001.ex1.test"
+    assert ok.authors and all(a.strip() for a in ok.authors)
+
+    amp = rows[page_url(2, 11) + "/amp"]
+    assert amp.error is None
+    assert amp.url == page_url(2, 11)  # canonical from og:url
+
+    missing = rows["https://missing.test/nope"]
+    assert missing.error == "HTTP error: status code 404"
+    assert missing.status_code == 404
+
+    bad = rows["not a url"]
+    assert bad.error.startswith("invalid url")
+
+    pdf = rows[page_url(0, 37)]
+    assert pdf.error == "unsupported content type: not html"
+
+    # errors never stored; good rows are
+    stored = store.urls.read()
+    assert stored.filter(F.col("error").isNotNull()).count() == 0
+    n_good = sum(1 for r in rows.values() if r.error is None)
+    assert stored.count() == n_good
+
+
+def test_cache_hit_keeps_fetch_time_and_skips_fetch(spark, pages, tmp_path):
+    store = UrlStore(spark, str(tmp_path / "s2"), n_buckets=8)
+    url = page_url(1, 3)
+    first = batch_extract(spark, _req_df(spark, [url]), pages, store).collect()[0]
+    again = batch_extract(
+        spark, _req_df(spark, [url + "?utm_source=x"]), pages, store
+    ).collect()[0]
+    # cache hit: fetch_time unchanged (scrape_test.go fetch-time stability)
+    assert again.fetch_time == first.fetch_time
+    assert again.content_text == first.content_text
+    # requested URL echoed even on hit
+    assert again.original_url == url + "?utm_source=x"
+
+
+def test_alias_lookup_after_store(spark, pages, tmp_path):
+    store = UrlStore(spark, str(tmp_path / "s3"), n_buckets=8)
+    amp_url = page_url(2, 22) + "/amp"
+    batch_extract(spark, _req_df(spark, [amp_url]), pages, store).collect()
+    # a later point fetch by the amp URL resolves through id_map
+    got = store.fetch([amp_url]).collect()
+    assert len(got) == 1 and got[0].url == page_url(2, 22)
+
+
+def test_unordered_union_has_all_columns(spark, pages, tmp_path):
+    from scrape_spark.schemas import RESULT_SCHEMA
+
+    store = UrlStore(spark, str(tmp_path / "s4"), n_buckets=8)
+    out = batch_extract(spark, _req_df(spark, [page_url(0, 2), page_url(0, 4)]), pages, store)
+    assert out.schema.fieldNames() == RESULT_SCHEMA.fieldNames()
