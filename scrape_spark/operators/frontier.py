@@ -1,0 +1,364 @@
+"""URL frontier + politeness scheduler + epoch-synchronous BFS crawl loop
+(SURVEY.md §2.6 W3/W4, §2.8, M5/M6 — the north-rule net-new core).
+
+The reference processes batches in input order with no pacing (rate limiting
+is an acknowledged TODO, internal/scrape.go:143). This engine adds, with
+public-spec semantics:
+
+- **Robots exclusion** (RFC 9309 shape): per-host disallow path-prefixes;
+  denied URLs are dropped permanently and counted in metrics.
+- **Crawl-delay token budget**: per epoch of `epoch_seconds`, a host with
+  crawl_delay d gets ⌊epoch_seconds / d⌋ slots (min 1). Enforced as a
+  rank-per-host window — stateless per epoch, state lives in the frontier.
+- **Deterministic BFS ordering**: within a host, candidates rank by
+  (priority, depth, key); across the crawl, order is (epoch, host, rank).
+  No dependence on partition iteration order anywhere.
+- **Seen-set**: fresh store keys (TTL-expired rows re-enter the frontier —
+  the reference's expired⇒miss⇒refetch semantics) plus an `attempted`
+  table for error URLs so failures don't loop. Probed via the partitioned
+  Bloom pre-filter + exact anti-join confirm (exact result, scale-safe).
+- **Checkpoint/resume**: each epoch commits {frontier, metrics, attempted,
+  store snapshot ids} under epochs/e{N}/ with an atomic _COMMIT marker;
+  resume re-runs from the last committed epoch. Seen-set reads pin the
+  *committed* store snapshot, so a crash mid-epoch replays identically.
+- **Skew**: the fetch stage repartitions by salted host hash (O2); the
+  politeness quota itself caps per-host work per epoch, so a hot host
+  cannot dominate a partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from scrape_spark.functions.urlkeys import (
+    clean_url,
+    hostname_col,
+    salted_host_bucket,
+    url_key,
+)
+from scrape_spark.operators.bloom import build_bloom, probe_bloom
+from scrape_spark.operators.store import UrlStore
+from scrape_spark.plans.batch_extract import fetch_join, finalize_results
+from scrape_spark.schemas import FRONTIER_SCHEMA
+
+ATTEMPTED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("epoch", T.IntegerType(), False),
+    ]
+)
+
+DEFAULT_CRAWL_DELAY = 1.0
+
+
+@dataclass
+class CrawlConfig:
+    epoch_seconds: float = 10.0
+    max_depth: int = 6
+    n_buckets: int = 16
+    use_bloom: bool = True
+    bloom_bits_per_key: int = 10
+    shuffle_partitions: int | None = None
+    salt: int = 0x5CA1E
+    extra: dict = field(default_factory=dict)
+
+    def budget_expr(self):
+        d = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+        return F.greatest(F.lit(1), F.floor(F.lit(self.epoch_seconds) / d)).cast("int")
+
+
+class Crawl:
+    """Epoch-synchronous crawl over a pages corpus (the network-free fetch
+    join at every test/bench scale)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        store: UrlStore,
+        pages: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.store = store
+        self.pages = pages
+        self.robots = robots.cache()
+        self.cfg = config or CrawlConfig()
+        os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
+
+    # ---- checkpoint bookkeeping -------------------------------------------
+    def _edir(self, epoch: int) -> str:
+        return os.path.join(self.state_dir, "epochs", f"e{epoch:05d}")
+
+    def last_committed_epoch(self) -> int | None:
+        base = os.path.join(self.state_dir, "epochs")
+        done = [
+            int(d[1:])
+            for d in os.listdir(base)
+            if d.startswith("e") and os.path.exists(os.path.join(base, d, "_COMMIT.json"))
+        ]
+        return max(done) if done else None
+
+    def _commit_info(self, epoch: int) -> dict:
+        with open(os.path.join(self._edir(epoch), "_COMMIT.json")) as f:
+            return json.load(f)
+
+    # ---- seeding -----------------------------------------------------------
+    def seed(self, urls: list[str]) -> None:
+        """Write epoch 0's frontier from a seed list (depth 0, priority 0)."""
+        df = self.spark.createDataFrame([(u,) for u in urls], ["raw"])
+        frontier = (
+            df.select(clean_url("raw").alias("url"))
+            .withColumn("key", url_key("url"))
+            .withColumn("host", hostname_col(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(0).cast("long"))
+            .withColumn("discovered_epoch", F.lit(0))
+            .dropDuplicates(["key"])
+            .select(*FRONTIER_SCHEMA.fieldNames())
+        )
+        edir = self._edir(0)
+        frontier.write.mode("overwrite").parquet(os.path.join(edir, "frontier.parquet"))
+        self.spark.createDataFrame([], ATTEMPTED_SCHEMA).write.mode("overwrite").parquet(
+            os.path.join(edir, "attempted.parquet")
+        )
+        with open(os.path.join(edir, "_SEED.json"), "w") as f:
+            json.dump({"n_seeds": len(urls)}, f)
+
+    # ---- seen-set probe ----------------------------------------------------
+    def _unseen(
+        self, frontier: DataFrame, seen_keys: DataFrame, bloom: DataFrame | None
+    ) -> DataFrame:
+        """EXACT anti-join of frontier vs seen keys, with an optional Bloom
+        pre-filter that lets 'definitely unseen' rows skip the join."""
+        if bloom is None:
+            return frontier.join(seen_keys, "key", "left_anti")
+        probed = probe_bloom(frontier, bloom, "key", self.cfg.n_buckets)
+        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = maybe.join(seen_keys, "key", "left_anti")
+        return definitely_new.unionByName(confirmed_new)
+
+    # ---- one epoch -----------------------------------------------------------
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        prev = self._edir(epoch)
+        frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            os.path.join(prev, "frontier.parquet")
+        )
+        attempted = self.spark.read.schema(ATTEMPTED_SCHEMA).parquet(
+            os.path.join(prev, "attempted.parquet")
+        )
+
+        # pin the *committed* store snapshot for all reads this epoch
+        committed = self._commit_info(epoch - 1) if epoch > 0 else None
+        store_snap = committed["store_snapshot"] if committed else None
+        idmap_snap = committed["idmap_snapshot"] if committed else None
+        fresh_store = self.store.urls.read(snapshot=store_snap)
+        fresh_keys = fresh_store.filter(
+            F.col("expires") > F.current_timestamp()
+        ).select("key")
+        # alias requested-keys count as seen only while their canonical row
+        # is fresh (reference: alias resolve → store probe → expired ⇒ miss)
+        id_map = self.store.id_map.read(snapshot=idmap_snap)
+        alias_seen = (
+            id_map.join(fresh_keys, id_map["canonical_id"] == fresh_keys["key"])
+            .select(F.col("requested_id").alias("key"))
+        )
+        seen_keys = (
+            fresh_keys.unionByName(alias_seen)
+            .unionByName(attempted.select("key"))
+            .distinct()
+            .cache()
+        )
+        # one Bloom build per epoch, rebuilt from the TTL-pruned store so
+        # expiry correctly removes membership
+        bloom = (
+            build_bloom(seen_keys, "key", cfg.n_buckets, cfg.bloom_bits_per_key).cache()
+            if cfg.use_bloom
+            else None
+        )
+
+        # 1. robots exclusion (RFC 9309 path-prefix disallow)
+        fr = frontier.join(F.broadcast(self.robots), "host", "left")
+        path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
+        denied = F.exists(
+            F.coalesce(F.col("disallow"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        fr = fr.withColumn("__denied", denied)
+        robots_denied = fr.filter(F.col("__denied"))
+        allowed = fr.filter(~F.col("__denied")).drop("__denied")
+
+        # 2. seen-set anti-join (Bloom pre-filter + exact confirm)
+        candidates = self._unseen(
+            allowed.select(*FRONTIER_SCHEMA.fieldNames(), "crawl_delay"), seen_keys, bloom
+        )
+
+        # 3. politeness quota + deterministic per-host ranking
+        w = W.partitionBy("host").orderBy("priority", "depth", "key")
+        ranked = candidates.withColumn("rank", F.row_number().over(w)).withColumn(
+            "budget", cfg.budget_expr()
+        )
+        selected = ranked.filter(F.col("rank") <= F.col("budget")).drop(
+            "budget", "crawl_delay"
+        ).cache()
+        deferred = (
+            ranked.filter(F.col("rank") > F.col("budget"))
+            .select(*FRONTIER_SCHEMA.fieldNames())
+        )
+
+        # 4. ONE fetch join + ONE extraction pass per epoch, spread across
+        # executors by salted host hash; results AND outlinks derive from it
+        n_part = cfg.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+        to_fetch = (
+            selected.withColumn("request_error", F.lit(None).cast("string"))
+            .withColumn("original_url", F.col("url"))
+            .withColumn("parsed_url", F.col("url"))
+            .repartition(n_part, salted_host_bucket("host", n_part, cfg.salt))
+        )
+        extracted = fetch_join(
+            to_fetch.select(
+                "original_url", "parsed_url", "key", "request_error",
+                "depth", "priority", "rank",
+            ),
+            self.pages,
+        ).cache()
+        results = finalize_results(extracted, self.store.ttl_seconds).cache()
+        errors = results.filter(F.col("error").isNotNull())
+
+        # 5. outlink discovery from the same extraction pass
+        links = self._shape_links(
+            extracted.filter(F.col("extract_error").isNull())
+            .filter(F.col("__page_url").isNotNull())
+            .select("depth", "links"),
+            epoch,
+        )
+
+        # 6. merges + next frontier (dedupe by key, min depth wins)
+        self.store.merge(results)
+        new_attempted = attempted.unionByName(
+            errors.select(
+                "key",
+                F.col("parsed_url").alias("url"),
+                "error",
+                F.lit(epoch).cast("int").alias("epoch"),
+            )
+        ).dropDuplicates(["key"])
+
+        in_flight = selected.select("key").unionByName(deferred.select("key")).distinct()
+        fresh_links = (
+            self._unseen(links.join(in_flight, "key", "left_anti"), seen_keys, bloom)
+            .select(*FRONTIER_SCHEMA.fieldNames())
+        )
+        next_frontier = (
+            deferred.unionByName(fresh_links)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("key").orderBy("depth", "priority", "discovered_epoch")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .filter(F.col("depth") <= cfg.max_depth)
+        )
+
+        # 7. metrics with per-partition lineage
+        host_metrics = (
+            results.groupBy("hostname")
+            .agg(
+                F.count(F.lit(1)).alias("fetched"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+                F.sum(F.length("content_text")).alias("content_chars"),
+            )
+            .withColumn("epoch", F.lit(epoch))
+        )
+        part_lineage = (
+            results.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("epoch", F.lit(epoch))
+        )
+
+        # 8. commit epoch k: next state under e{k+1}, marker under e{k}
+        nxt = self._edir(epoch + 1)
+        next_frontier.write.mode("overwrite").parquet(os.path.join(nxt, "frontier.parquet"))
+        new_attempted.write.mode("overwrite").parquet(os.path.join(nxt, "attempted.parquet"))
+        edir = self._edir(epoch)
+        host_metrics.write.mode("overwrite").parquet(os.path.join(edir, "metrics.parquet"))
+        part_lineage.write.mode("overwrite").parquet(os.path.join(edir, "lineage.parquet"))
+        selected.select("key", "url", "host", "depth", "priority", "rank").withColumn(
+            "epoch", F.lit(epoch)
+        ).write.mode("overwrite").parquet(os.path.join(edir, "selected.parquet"))
+
+        stats = {
+            "epoch": epoch,
+            "selected": selected.count(),
+            "errors": errors.count(),
+            "robots_denied": robots_denied.count(),
+            "deferred": deferred.count(),
+            "next_frontier": next_frontier.count(),
+            "store_snapshot": self.store.urls.current_snapshot(),
+            "idmap_snapshot": self.store.id_map.current_snapshot(),
+        }
+        tmp = os.path.join(edir, "_COMMIT.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(edir, "_COMMIT.json"))
+        for df in (results, extracted, selected, seen_keys):
+            df.unpersist()
+        if bloom is not None:
+            bloom.unpersist()
+        return stats
+
+    def _shape_links(self, ext: DataFrame, epoch: int) -> DataFrame:
+        """Shape harvested hrefs as frontier rows at depth+1:
+        canonicalize → key → host → dedupe by key."""
+        out = (
+            ext.select("depth", F.explode_outer("links").alias("raw"))
+            .where(F.col("raw").isNotNull())
+            .select(clean_url("raw").alias("url"), (F.col("depth") + 1).alias("depth"))
+            .withColumn("key", url_key("url"))
+            .withColumn("host", hostname_col(F.col("url")))
+            # same key ⇒ same cleaned URL; dedupe keeps the MIN depth so the
+            # BFS frontier is deterministic regardless of partition order
+            .groupBy("key", "url", "host")
+            .agg(F.min("depth").cast("int").alias("depth"))
+            .withColumn("priority", F.col("depth").cast("long"))
+            .withColumn("discovered_epoch", F.lit(epoch + 1))
+            .select(*FRONTIER_SCHEMA.fieldNames())
+        )
+        return out
+
+    # ---- driver loop ----------------------------------------------------------
+    def run(self, n_epochs: int, seeds: list[str] | None = None) -> list[dict]:
+        """Run/resume the crawl. With seeds given and no committed state,
+        seeds epoch 0; otherwise resumes after the last committed epoch."""
+        last = self.last_committed_epoch()
+        if last is None:
+            if seeds is None:
+                raise ValueError("fresh crawl needs seeds")
+            if not os.path.exists(os.path.join(self._edir(0), "_SEED.json")):
+                self.seed(seeds)
+            start = 0
+        else:
+            start = last + 1
+        out = []
+        for epoch in range(start, n_epochs):
+            stats = self.run_epoch(epoch)
+            out.append(stats)
+            if stats["selected"] == 0 and stats["next_frontier"] == 0:
+                break
+        return out

@@ -62,15 +62,21 @@ def _as_result(df: DataFrame) -> DataFrame:
     return df.select(*[F.col(c) for c in RESULT_COLS])
 
 
-def fetch_and_extract(misses: DataFrame, pages: DataFrame, ttl_seconds: int) -> DataFrame:
-    """The 'network' stage: equi-join against the pages corpus (absent ⇒ 404
-    error row), then vectorized extraction. Returns RESULT_SCHEMA rows."""
+def fetch_join(misses: DataFrame, pages: DataFrame) -> DataFrame:
+    """The 'network' stage: equi-join against the pages corpus (absent ⇒
+    404 later), then one vectorized extraction pass. Keeps the extract's
+    raw columns (incl. `links`) so callers can derive both result rows and
+    outlink discovery from a single cached extraction."""
     corpus = pages.select(F.col("url").alias("__page_url"), "html")
     joined = misses.join(
         corpus, misses["parsed_url"] == corpus["__page_url"], "left"
     )
-    extracted = extract_pages(joined, html_col="html")
+    return extract_pages(joined, html_col="html")
 
+
+def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
+    """Map one extraction pass to RESULT_SCHEMA rows with the full error
+    taxonomy (invalid-url / 404 / unsupported-content-type)."""
     found = F.col("__page_url").isNotNull()
     canonical = F.coalesce(F.col("canonical_url"), F.col("parsed_url"))
     status = F.when(found, F.lit(200)).otherwise(F.lit(404)).cast("int")
@@ -92,6 +98,10 @@ def fetch_and_extract(misses: DataFrame, pages: DataFrame, ttl_seconds: int) -> 
         .withColumn("authors", author_split("author"))
     )
     return _as_result(out)
+
+
+def fetch_and_extract(misses: DataFrame, pages: DataFrame, ttl_seconds: int) -> DataFrame:
+    return finalize_results(fetch_join(misses, pages), ttl_seconds)
 
 
 def batch_extract(

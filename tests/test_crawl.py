@@ -1,0 +1,152 @@
+"""North-rule crawl tests: the distributed epoch loop must reproduce the
+single-threaded reference model's per-epoch selected sets, per-host ranks,
+and final seen/store key sets under the same seeds + politeness budget;
+robots disallows are honored; resume from checkpoint is identical; the
+Bloom pre-filter path equals the exact path."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.frontier import Crawl, CrawlConfig
+from scrape_spark.operators.store import UrlStore
+from scrape_spark.sources.pages import robots_table, seed_urls, synth_pages
+from tests.reference_model import build_corpus, run_model
+
+N_HOSTS, PER_HOST = 6, 40
+EPOCH_SECONDS = 4.0
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, N_HOSTS, PER_HOST).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def model():
+    corpus = build_corpus(N_HOSTS, PER_HOST)
+    robots = {
+        r.host: (list(r.disallow), r.crawl_delay)
+        for r in [type("R", (), dict(host=h, disallow=["/private/"], crawl_delay=d))()
+                  for h, d in []]
+    }
+    # mirror sources.pages.robots_table exactly
+    delays = [0.2, 0.5, 1.0, 2.0]
+    robots = {
+        f"h{h:05d}.ex{h % 7}.test": (["/private/"], delays[h % len(delays)] if h else 0.1)
+        for h in range(N_HOSTS)
+    }
+    return run_model(
+        corpus, seed_urls(N_HOSTS), robots, EPOCH_SECONDS, N_EPOCHS, max_depth=6
+    )
+
+
+def _mk_crawl(spark, tmpdir, pages, use_bloom=True):
+    store = UrlStore(spark, f"{tmpdir}/store", n_buckets=8)
+    return Crawl(
+        spark,
+        f"{tmpdir}/state",
+        store,
+        pages,
+        robots_table(spark, N_HOSTS),
+        CrawlConfig(
+            epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+            use_bloom=use_bloom, shuffle_partitions=4,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, tmp_path_factory, pages):
+    tmpdir = str(tmp_path_factory.mktemp("crawl"))
+    crawl = _mk_crawl(spark, tmpdir, pages)
+    stats = crawl.run(N_EPOCHS, seeds=seed_urls(N_HOSTS))
+    return crawl, stats
+
+
+def _selected_tuples(spark, crawl, epoch):
+    df = spark.read.parquet(f"{crawl.state_dir}/epochs/e{epoch:05d}/selected.parquet")
+    return sorted(
+        (r.key, r.url, r.host, r.depth, r.priority, r.rank) for r in df.collect()
+    )
+
+
+def test_selected_sets_match_model(spark, crawl_run, model):
+    crawl, stats = crawl_run
+    assert len(stats) == len(model.selected_per_epoch) or len(stats) == N_EPOCHS
+    for epoch in range(len(stats)):
+        got = _selected_tuples(spark, crawl, epoch)
+        want = [tuple(t) for t in model.selected_per_epoch[epoch]]
+        assert got == want, f"epoch {epoch}: {len(got)} vs {len(want)}"
+
+
+def test_store_keys_match_model(crawl_run, model):
+    crawl, _ = crawl_run
+    got = {r.key for r in crawl.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+
+
+def test_robots_never_fetched(crawl_run):
+    crawl, stats = crawl_run
+    fetched = crawl.store.urls.read().filter(F.col("parsed_url").contains("/private/"))
+    assert fetched.count() == 0
+    assert sum(s["robots_denied"] for s in stats) > 0
+
+
+def test_politeness_budget_respected(spark, crawl_run):
+    crawl, stats = crawl_run
+    import math
+    delays = [0.2, 0.5, 1.0, 2.0]
+    for epoch in range(len(stats)):
+        df = spark.read.parquet(f"{crawl.state_dir}/epochs/e{epoch:05d}/selected.parquet")
+        per_host = {r.host: r.n for r in df.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        for host, n in per_host.items():
+            h = int(host[1:6])
+            d = delays[h % len(delays)] if h else 0.1
+            assert n <= max(1, math.floor(EPOCH_SECONDS / d)), (epoch, host, n)
+
+
+def test_error_urls_attempted_once(spark, crawl_run):
+    crawl, stats = crawl_run
+    last = crawl.last_committed_epoch()
+    att = spark.read.parquet(f"{crawl.state_dir}/epochs/e{last+1:05d}/attempted.parquet")
+    pdf = att.toPandas()
+    assert len(pdf) == pdf["key"].nunique()
+    assert (pdf["error"].str.len() > 0).all()
+
+
+def test_bloom_path_equals_exact_path(spark, tmp_path_factory, pages, model):
+    tmpdir = str(tmp_path_factory.mktemp("crawl_exact"))
+    crawl = _mk_crawl(spark, tmpdir, pages, use_bloom=False)
+    crawl.run(N_EPOCHS, seeds=seed_urls(N_HOSTS))
+    got = {r.key for r in crawl.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_resume_from_checkpoint(spark, tmp_path_factory, pages, model, crawl_run):
+    ref_crawl, _ = crawl_run
+    tmpdir = str(tmp_path_factory.mktemp("crawl_resume"))
+    crawl = _mk_crawl(spark, tmpdir, pages)
+    crawl.run(2, seeds=seed_urls(N_HOSTS))  # stop after 2 epochs ("crash")
+    # resume: a new Crawl object picks up from the checkpoint
+    crawl2 = _mk_crawl(spark, tmpdir, pages)
+    assert crawl2.last_committed_epoch() == 1
+    crawl2.run(N_EPOCHS)
+    got = {r.key for r in crawl2.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl2, epoch) == _selected_tuples(
+            spark, ref_crawl, epoch
+        )
+    shutil.rmtree(tmpdir, ignore_errors=True)
