@@ -446,6 +446,250 @@ def author_split(spark, sf):
     )
 
 
+# ===========================================================================
+# Training-data pipeline operators (dedupe / similarity / text analysis)
+# ===========================================================================
+
+@_q(
+    "token_count",
+    """SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+              len(regexp_extract_all(text, '([a-zA-Z0-9]+|[^a-zA-Z0-9\\s])')) AS n_bpe
+       FROM documents""",
+)
+def token_count(spark, sf):
+    from scrape_spark.functions.textstats import token_count_bpe, token_count_ws
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws"),
+        token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+@_q(
+    "quality_score",
+    """SELECT doc_id, round(greatest(0.0, least(1.0,
+         0.4 * (CASE WHEN length(text) >= 200 THEN 1.0
+                     WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^a-zA-Z一-鿿]', '', 'g'))::DOUBLE / length(text)
+                     ELSE 0.0 END)
+       + 0.2 * (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.5 END)
+       - 0.1 * (CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)
+                     ELSE 0.0 END))), 4) AS quality
+       FROM (SELECT doc_id, text,
+                    CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                         THEN length(text)::DOUBLE / len(string_split_regex(trim(text), '\\s+'))
+                         ELSE 0.0 END AS mean_tok
+             FROM documents)""",
+)
+def quality_score(spark, sf):
+    from scrape_spark.functions.textstats import quality_score as qs
+
+    return _t(spark, sf, "documents").select("doc_id", qs("text").alias("quality"))
+
+
+@_q(
+    "lang_id",
+    """SELECT doc_id, CASE
+         WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) <= 0 THEN 'und'
+         WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'fr'
+         ELSE 'zh' END AS lang_guess
+       FROM (SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS s_fr,
+               len(regexp_extract_all(lower(text), '\\b(die|der|und|das|ist)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(el|los|de|las|y)\\b')) AS s_es,
+               length(lower(text)) - length(regexp_replace(lower(text), '[一-鿿]', '', 'g')) AS s_zh
+             FROM documents)""",
+)
+def lang_id(spark, sf):
+    from scrape_spark.functions.textstats import lang_id as lid
+
+    return _t(spark, sf, "documents").select("doc_id", lid("text").alias("lang_guess"))
+
+
+@_q(
+    "fingerprint_dedup",
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g')) AS fp,
+              count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM documents GROUP BY 1""",
+)
+def fingerprint_dedup(spark, sf):
+    from scrape_spark.operators.dedupe import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "jaccard_pairs_words",
+    """WITH base AS (SELECT doc_id,
+                            list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                     FROM documents),
+       sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+       inv AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+       inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                 FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT i, j, c, (sa.n + sb.n - c) AS u
+       FROM inter JOIN sizes sa ON inter.i = sa.doc_id
+                  JOIN sizes sb ON inter.j = sb.doc_id
+       WHERE c::DOUBLE / (sa.n + sb.n - c) > 0.9""",
+)
+def jaccard_pairs_words(spark, sf):
+    from scrape_spark.operators.dedupe import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", 0.9, ngram=1)
+
+
+@_q(
+    "jaccard_pairs_trigram",
+    """WITH base AS (
+         SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN range(1, len(w) - 1)] END) AS toks
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents)),
+       sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+       inv AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+       inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                 FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT i, j, c, (sa.n + sb.n - c) AS u
+       FROM inter JOIN sizes sa ON inter.i = sa.doc_id
+                  JOIN sizes sb ON inter.j = sb.doc_id
+       WHERE c::DOUBLE / (sa.n + sb.n - c) > 0.5""",
+)
+def jaccard_pairs_trigram(spark, sf):
+    from scrape_spark.operators.dedupe import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", 0.5, ngram=3)
+
+
+@_q("minhash_neardup")  # rows-only: LSH banding has no portable SQL analog;
+def minhash_neardup(spark, sf):  # recall/precision pinned by pytest instead
+    from scrape_spark.operators.dedupe import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5, k=32, bands=8
+    )
+
+
+@_q("simhash_neardup")  # rows-only: same reason as minhash
+def simhash_neardup(spark, sf):
+    from scrape_spark.operators.dedupe import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+_COSINE_SQL = """list_sum([va[i] * vb[i] FOR i IN range(1, 65)])
+    / (sqrt(list_sum([va[i] * va[i] FOR i IN range(1, 65)]))
+       * sqrt(list_sum([vb[i] * vb[i] FOR i IN range(1, 65)])))"""
+
+
+@_q(
+    "embedding_neardup",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT i, j, round(sim, 6) AS sim_r FROM (
+         SELECT a.vec_id AS i, b.vec_id AS j,
+                {_COSINE_SQL.replace('va', 'a.v').replace('vb', 'b.v')} AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       WHERE sim > 0.4""",
+)
+def embedding_neardup(spark, sf):
+    from scrape_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "ann_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q.q_id, c.vec_id AS n_id,
+                {_COSINE_SQL.replace('va', 'q.qv').replace('vb', 'c.v')} AS sim
+         FROM e c CROSS JOIN q WHERE c.vec_id != q.q_id),
+       ranked AS (SELECT q_id, n_id, sim,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY sim DESC, n_id) AS rk
+                  FROM scored)
+       SELECT q_id, n_id, rk, round(sim, 6) AS sim_r FROM ranked WHERE rk <= 5""",
+)
+def ann_topk(spark, sf):
+    from scrape_spark.operators.similarity import ann_topk as topk
+
+    e = _t(spark, sf, "embeddings")
+    return topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q("ann_topk_lsh")  # rows-only: hyperplane bucketing is engine-specific;
+def ann_topk_lsh_q(spark, sf):  # recall vs brute force pinned by pytest
+    from scrape_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf, "embeddings")
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# -- sessionization (gap-based) over the events stream table -------------------
+
+@_q(
+    "sessionize",
+    """SELECT user_id, event_id, session_id::BIGINT AS session_id FROM (
+         SELECT user_id, event_id,
+                sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         FROM (SELECT user_id, event_id, ts,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id)) AS gap
+               FROM events))""",
+)
+def sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > 1_800_000_000), 1).otherwise(0)
+            ).over(w),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+# -- collect/explode round-trip (feed → batch fan-out shape, J5) ----------------
+
+@_q(
+    "feed_explode",
+    """SELECT source, doc_id, count(*) OVER (PARTITION BY source) AS n_items
+       FROM documents""",
+)
+def feed_explode(spark, sf):
+    d = _t(spark, sf, "documents")
+    feeds = d.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("items")
+    )
+    return feeds.select(
+        "source",
+        F.explode("items").alias("doc_id"),
+        F.size("items").alias("n_items"),
+    )
+
+
 # -- flagship pipeline as a rows-only query -------------------------------------------------
 
 @_q("batch_pipeline")  # rows-only: full UDF pipeline, no SQL analog

@@ -1,0 +1,126 @@
+"""Dedupe + similarity operator tests: planted-duplicate recovery, MinHash
+recall vs exact Jaccard (zero false positives by construction), SimHash
+invariants, cosine vs numpy, LSH-ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.dedupe import (
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from scrape_spark.operators.similarity import ann_topk, ann_topk_lsh, cosine
+
+BASE_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _mk_docs(spark, n=60, seed=3):
+    """n base docs + exact dups of every 10th + near-dups (one word swapped)
+    of every 7th."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        words = [BASE_WORDS[rng.randint(len(BASE_WORDS))] for _ in range(30)]
+        rows.append((i, " ".join(words)))
+    base = dict(rows)
+    nid = n
+    expected_exact, expected_near = [], []
+    for i in range(0, n, 10):
+        rows.append((nid, base[i] + "  "))  # whitespace-only change ⇒ exact dup
+        expected_exact.append((i, nid))
+        nid += 1
+    for i in range(0, n, 7):
+        w = base[i].split()
+        w[5] = "zulu"
+        rows.append((nid, " ".join(w)))
+        expected_near.append((i, nid))
+        nid += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"]), expected_exact, expected_near
+
+
+def test_exact_dedup_planted(spark):
+    df, exact_pairs, _ = _mk_docs(spark)
+    groups = exact_dedup_groups(df, "doc_id", "text")
+    dup_groups = {r.keep_id: r.n_docs for r in groups.filter("n_docs > 1").collect()}
+    assert set(dup_groups) == {i for i, _ in exact_pairs}
+    kept = exact_dedup(df, "doc_id", "text")
+    assert kept.count() == df.count() - len(exact_pairs)
+
+
+def test_minhash_no_false_positives_and_high_recall(spark):
+    df, _, _ = _mk_docs(spark)
+    exact = {
+        (r.i, r.j)
+        for r in jaccard_pairs(df, "doc_id", "text", 0.7, ngram=3).collect()
+    }
+    assert exact, "corpus must contain high-jaccard pairs"
+    got = {
+        (r.i, r.j)
+        for r in minhash_neardup_pairs(
+            df, "doc_id", "text", threshold=0.7, k=32, bands=8
+        ).collect()
+    }
+    # verification stage ⇒ no false positives
+    assert got <= exact
+    # banding S-curve at (32, 8) ⇒ near-total recall at jaccard ≥ 0.7
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_exact_dup_is_zero_hamming(spark):
+    df, exact_pairs, _ = _mk_docs(spark)
+    pairs = {
+        (r.i, r.j): r.hamming
+        for r in simhash_neardup_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    for i, j in exact_pairs:
+        assert pairs.get((i, j)) == 0, (i, j)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], ["va", "vb"]
+    )
+    got = df.select(cosine(F.col("va"), F.col("vb")).alias("c")).collect()[0].c
+    want = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id) for r in ann_topk(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ann_topk_lsh(
+            embeddings, queries, k=5, n_planes=6, n_tables=10, multiprobe=True
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall  # floor for 10-table 6-plane multiprobe LSH
+
+
+def test_ann_topk_is_exact_and_ordered(spark, embeddings):
+    out = ann_topk(embeddings, embeddings.filter(F.col("vec_id") == 0), k=5).collect()
+    assert [r.rk for r in out] == [1, 2, 3, 4, 5]
+    sims = [r.sim_r for r in out]
+    assert sims == sorted(sims, reverse=True)

@@ -24,6 +24,8 @@ def norm_cell(v):
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "∅"
     if isinstance(v, float):
+        if v.is_integer():
+            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
