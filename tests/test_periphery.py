@@ -1,0 +1,134 @@
+"""Periphery: multimodal media plumbing, feed source, JSON sink, CSV ingest."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from scrape_spark.operators.json_sink import (
+    json_array_string,
+    metadata_json_col,
+    parse_metadata_json,
+    result_json,
+)
+from scrape_spark.operators.media import (
+    extract_media_features,
+    frame_sample,
+    synth_media,
+)
+from scrape_spark.sources.feed import feed_to_requests, parse_feeds
+
+RSS = """<?xml version="1.0"?><rss><channel><title>My Feed</title>
+<item><title>A1</title><link>https://ex.test/a1</link></item>
+<item><title>A2</title><link> https://ex.test/a2 </link></item>
+</channel></rss>"""
+
+ATOM = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Atom Feed</title>
+<entry><title>B1</title><link rel="alternate" href="https://ex.test/b1"/></entry>
+</feed>"""
+
+
+def test_feed_parse_and_fanout(spark):
+    df = spark.createDataFrame(
+        [("https://ex.test/rss", RSS), ("https://ex.test/atom", ATOM), ("https://ex.test/empty", "")],
+        ["feed_url", "xml"],
+    )
+    feeds = parse_feeds(df)
+    rows = {r.feed_url: r for r in feeds.collect()}
+    assert rows["https://ex.test/rss"].feed_title == "My Feed"
+    assert [i.link for i in rows["https://ex.test/rss"].items] == [
+        "https://ex.test/a1",
+        "https://ex.test/a2",
+    ]
+    assert [i.link for i in rows["https://ex.test/atom"].items] == ["https://ex.test/b1"]
+    assert rows["https://ex.test/empty"].items == []
+    reqs = feed_to_requests(feeds)
+    assert reqs.count() == 3
+    assert set(reqs.columns) == {"feed_url", "url"}
+
+
+def test_media_features(spark):
+    media = synth_media(spark, 30).cache()
+    feats = extract_media_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 30
+    img = rows[0]
+    assert img.format == "png" and img.width and img.height and img.decode_error is None
+    aud = rows[1]
+    assert aud.format == "wav" and aud.sample_rate in {8000 * k for k in range(1, 7)}
+    vid = rows[2]
+    assert vid.format == "fvid" and vid.n_frames >= 2
+    # payload dropped post-extraction, metadata map passes through
+    assert "payload" not in feats.columns
+    assert rows[0].meta["source"].startswith("cam")
+
+
+def test_media_determinism(spark):
+    a = extract_media_features(synth_media(spark, 20, partitions=2)).collect()
+    b = extract_media_features(synth_media(spark, 20, partitions=5)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_frame_sampling(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample(media, every_k=2)
+    pdf = frames.toPandas()
+    assert (pdf.frame_idx % 2 == 0).all()
+    assert (pdf.frame_bytes.str.len() == 32).all()
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        extract_media_features(synth_media(spark, 3), decode_backend="real")
+
+
+def test_json_sink_omitempty_and_notext(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.test/x", None, "body text", ["A"])],
+        "key long, url string, error string, content_text string, authors array<string>",
+    )
+    full = json.loads(result_json(df).collect()[0].json)
+    assert "error" not in full  # omit-empty parity
+    assert full["content_text"] == "body text"
+    notext = json.loads(result_json(df, drop_text=True).collect()[0].json)
+    assert "content_text" not in notext
+    arr = json.loads(json_array_string(df))
+    assert isinstance(arr, list) and len(arr) == 1
+
+
+def test_metadata_blob_skiplist_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(5, "https://c.test/p", "https://c.test/p?x=1", "t", "text", "en")],
+        ["key", "url", "parsed_url", "title", "content_text", "language"],
+    )
+    blob = df.select(metadata_json_col(df).alias("m"))
+    m = json.loads(blob.collect()[0].m)
+    # skip-list applied: canonical url / content_text excluded from the blob
+    assert set(m) == {"parsed_url", "title", "language"}
+    schema = T.StructType(
+        [
+            T.StructField("parsed_url", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("language", T.StringType()),
+        ]
+    )
+    back = blob.select(parse_metadata_json(F.col("m"), schema).alias("s")).collect()[0].s
+    assert back.title == "t" and back.language == "en"
+
+
+def test_csv_url_source(spark, tmp_path):
+    # S4: CSV URL list with selectable column (cmd/scrape/main.go:96-120)
+    p = str(tmp_path / "urls.csv")
+    with open(p, "w") as f:
+        f.write("id,link\n1,https://a.test/1\n2,https://a.test/2\n")
+    urls = spark.read.option("header", True).csv(p).select(F.col("link").alias("url"))
+    assert [r.url for r in urls.orderBy("url").collect()] == [
+        "https://a.test/1",
+        "https://a.test/2",
+    ]
