@@ -588,7 +588,7 @@ def simhash_neardup(spark, sf):
     from scrape_spark.operators.dedupe import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=4
     )
 
 

@@ -1,0 +1,104 @@
+"""Benchmark harness (driver contract): runs the headline pipeline + operator
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+  {"metric": "batch_extract_seconds", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "throughput_pages_per_sec": ...}
+
+The headline number is the flagship fetch+extract pipeline over a synthetic
+pages corpus scaled to the SF (generated once, cached as Parquet under
+.bench_data/). Two-cluster-size scaling evidence lives in
+tools/scaling_bench.py (subprocess per parallelism level) and is recorded
+in BASELINE.md / BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Corpus size by SF dir (pages ≈ lineitem rows / 12; html ≈ 2 KB/page)
+CORPUS = {
+    "sf0.001": (6, 100),     # n_hosts, per_host
+    "sf0.01": (20, 300),
+    "sf0.1": (50, 1000),
+}
+
+BENCH_QUERIES = [
+    "batch_pipeline_sf",      # special: pages corpus, not sf tables
+    "per_host_agg",
+    "dim_broadcast",
+    "topk_per_group",
+    "hit_miss_anti",
+    "dedupe_lastwin",
+    "sessionize",
+    "fingerprint_dedup",
+    "jaccard_pairs_words",
+    "minhash_neardup",
+    "embedding_neardup",
+    "ann_topk",
+    "ann_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_hosts, per_host = CORPUS.get(sf_name, (20, 300))
+
+    from scrape_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    import __spark_entry__ as E
+    from scrape_spark.plans.batch_extract import batch_extract
+    from scrape_spark.sources.pages import ensure_pages
+
+    corpus_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_data",
+        f"pages_{n_hosts}x{per_host}",
+    )
+    pages = ensure_pages(spark, corpus_path, n_hosts, per_host)
+    n_pages = pages.count()
+
+    timings: dict[str, float] = {}
+
+    # headline: full memoization-less fetch+extract over the whole corpus
+    t0 = time.time()
+    out = batch_extract(spark, pages.select("url"), pages, store=None)
+    n_out = out.count()
+    headline = time.time() - t0
+    timings["batch_pipeline_sf"] = round(headline, 3)
+
+    qs = E.queries()
+    for name in BENCH_QUERIES[1:]:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "batch_extract_seconds",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "n_pages": n_pages,
+                "n_results": n_out,
+                "throughput_pages_per_sec": round(n_pages / headline, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
+on the SAME input, reporting throughput at both plus scaling efficiency
+(T_par ratio / core ratio). Each level runs in its own subprocess (a JVM
+can't change master mid-process).
+
+    python tools/scaling_bench.py [--pages 50x1000] [--epochs 3]
+
+Writes JSON to stdout and appends a row to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from scrape_spark.session import get_spark
+from scrape_spark.plans.batch_extract import batch_extract
+from scrape_spark.sources.pages import ensure_pages
+
+cores = int(sys.argv[1])
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
+pages = ensure_pages(spark, {corpus!r}, {n_hosts}, {per_host})
+pages = pages.cache(); n = pages.count()
+# warmup (JIT + codegen), then measured run
+batch_extract(spark, pages.select("url").limit(2000), pages, store=None).count()
+t0 = time.time()
+out = batch_extract(spark, pages.select("url"), pages, store=None).count()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "seconds": round(dt, 3), "pages": n,
+                   "throughput": round(n / dt, 1)}}))
+"""
+
+
+def run_level(cores: int, corpus: str, n_hosts: int, per_host: int) -> dict:
+    code = CHILD.format(repo=REPO, corpus=corpus, n_hosts=n_hosts, per_host=per_host)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores)],
+        capture_output=True, text=True, timeout=3600, check=False,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from cores={cores}: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_hosts, per_host = 50, 1000
+    for a in sys.argv[1:]:
+        if a.startswith("--pages"):
+            n_hosts, per_host = map(int, a.split("=", 1)[1].split("x"))
+    corpus = os.path.join(REPO, ".bench_data", f"pages_{n_hosts}x{per_host}")
+
+    lo = run_level(8, corpus, n_hosts, per_host)
+    hi = run_level(32, corpus, n_hosts, per_host)
+    eff = (hi["throughput"] / lo["throughput"]) / (32 / 8)
+    result = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": {"N": 8, "4N": 32},
+        "throughput_pages_per_sec": {"N": lo["throughput"], "4N": hi["throughput"]},
+        "seconds": {"N": lo["seconds"], "4N": hi["seconds"]},
+        "pages": lo["pages"],
+        "criterion": "efficiency >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+        f.write(
+            f"| {lo['pages']} | {lo['throughput']} | {hi['throughput']} | {round(eff,3)} | "
+            f"{'PASS' if eff >= 0.8 else 'FAIL'} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
