@@ -599,11 +599,14 @@ _COSINE_SQL = """list_sum([va[i] * vb[i] FOR i IN range(1, 65)])
 
 @_q(
     "embedding_neardup",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       n AS (SELECT vec_id,
+                    [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS vn
+             FROM e)
        SELECT i, j, round(sim, 6) AS sim_r FROM (
          SELECT a.vec_id AS i, b.vec_id AS j,
-                {_COSINE_SQL.replace('va', 'a.v').replace('vb', 'b.v')} AS sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id)
+                list_sum([a.vn[k] * b.vn[k] FOR k IN range(1, 65)]) AS sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
        WHERE sim > 0.4""",
 )
 def embedding_neardup(spark, sf):

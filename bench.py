@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "dedupe_lastwin",
     "sessionize",
     "fingerprint_dedup",
-    "jaccard_pairs_words",
+    "jaccard_pairs_trigram",
     "minhash_neardup",
     "embedding_neardup",
     "ann_topk",

@@ -63,28 +63,71 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.9,
     ngram: int = 1,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs (i < j) with Jaccard(token-set_i, token-set_j) > threshold.
     ngram=1 → word sets; ngram>=2 → shingle sets. Jaccard is a small-integer
-    ratio → bit-identical across engines."""
+    ratio → bit-identical across engines.
+
+    EXACT result either way. With prefix_filter (SSJoin-style): any pair with
+    jac ≥ t has overlap c ≥ t·u ≥ ⌈t·n⌉ for each side's size n, so by
+    pigeonhole the two docs must share a token inside their first
+    n − ⌈t·n⌉ + 1 tokens under ANY fixed global token order. Ordering tokens
+    rarest-first (ascending document frequency, then token) makes those
+    prefix tokens the most selective join keys — the inverted-index
+    self-join shrinks from Σ df² over all tokens to Σ df² over prefix
+    tokens. Candidates are then verified with the full sets."""
     tok = word_set(text_col) if ngram == 1 else shingles(text_col, ngram)
-    base = df.select(F.col(id_col).alias("doc_id"), tok.alias("toks"))
+    base = df.select(F.col(id_col).alias("doc_id"), tok.alias("toks")).cache()
     sizes = base.select("doc_id", F.size("toks").alias("n"))
+
+    if not prefix_filter:
+        inv = base.select("doc_id", F.explode("toks").alias("tok"))
+        a, b = inv.alias("a"), inv.alias("b")
+        inter = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("i"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("j"), F.col("n").alias("nb"))
+        return (
+            inter.join(sa, "i").join(sb, "j")
+            .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+            .filter(F.col("jac") > threshold)
+            .select("i", "j", "c", (F.col("na") + F.col("nb") - F.col("c")).alias("u"))
+        )
+
     inv = base.select("doc_id", F.explode("toks").alias("tok"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    tok_df = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inv.join(tok_df, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
     )
-    sa = sizes.select(F.col("doc_id").alias("i"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("j"), F.col("n").alias("nb"))
+    n = F.size("ordered")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
+    # dynamic prefix: keep position < prefix_len via posexplode
+    prefix = ranked.select(
+        "doc_id",
+        prefix_len.alias("plen"),
+        F.posexplode("ordered").alias("pos", "st"),
+    ).filter(F.col("pos") < F.col("plen")).select("doc_id", F.col("st.tok").alias("tok"))
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    ti = base.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"))
+    tj = base.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"))
     return (
-        inter.join(sa, "i").join(sb, "j")
-        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
-        .filter(F.col("jac") > threshold)
-        .select("i", "j", "c", (F.col("na") + F.col("nb") - F.col("c")).alias("u"))
+        cand.join(ti, "i").join(tj, "j")
+        .withColumn("c", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("u", F.size(F.array_union("ta", "tb")))
+        .filter(F.col("c") / F.col("u") > threshold)
+        .select("i", "j", "c", "u")
     )
 
 
@@ -113,22 +156,29 @@ def _perm_params(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 32, ngram: int = 3
 ) -> DataFrame:
-    """k-wide MinHash signature per document, entirely in JVM expressions:
-    sig[i] = min over shingles of (a_i * xxhash64(shingle) + b_i) mod 2^61-1."""
-    sh = shingles(text_col, ngram)
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
+    """k-wide MinHash signature per document:
+    sig[i] = min over shingles of (a_i * xxhash64(shingle) + b_i) mod 2^31-1.
 
-    def _affine(a: int, b: int):
-        return lambda h: F.pmod(
-            F.lit(a) * F.pmod(h, F.lit(MERSENNE_31)) + F.lit(b), F.lit(MERSENNE_31)
-        )
-
-    sig_cols = [
-        F.array_min(F.transform(hashes, _affine(a, b))) for a, b in _perm_params(k)
+    Shape: explode shingles → one codegen'd projection of the k affine
+    permutations → groupBy(doc) with k min() aggregates → array. Higher-order
+    array functions are NOT whole-stage-codegen'd in Spark (a k-wide nested
+    transform is interpreted and re-evaluates the shingle build per
+    permutation — measured ~10× slower); the explode+partial-agg form is,
+    and the shuffle carries only doc_id × k mins thanks to map-side combine."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, ngram)).alias("s")
+    ).withColumn("h", F.pmod(F.abs(F.xxhash64("s")), F.lit(MERSENNE_31)))
+    perm_cols = [
+        F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_31)).alias(f"p{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
     ]
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.array(*sig_cols).alias("sig")
-    ).where(F.size(sh) > 0)
+    exploded = sh.select("doc_id", *perm_cols)
+    agg = exploded.groupBy("doc_id").agg(
+        *[F.min(f"p{i}").alias(f"m{i}") for i in range(k)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
 
 
 def lsh_candidates(sig_df: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:

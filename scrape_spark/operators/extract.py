@@ -79,20 +79,25 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     err[~looks_html] = "unsupported content type: not html"
     h = raw.where(looks_html, "")
 
+    # metadata lives in <head>; scoping the ~10 regex passes to that substring
+    # cuts total regex scanning ~3x (falls back to the whole doc when absent)
+    head = h.str.extract(r"(?is)<head[^>]*>(.*?)</head>", expand=False)
+    head = head.fillna(h)
+
     title = _unescape(
-        h.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
+        head.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
     ).str.strip()
-    canonical = _meta(h, _META_PROP, "og:url")
-    description = _meta(h, _META_NAME, "description")
-    sitename = _meta(h, _META_PROP, "og:site_name")
-    author = _meta(h, _META_NAME, "author")
-    image = _meta(h, _META_PROP, "og:image")
-    page_type = _meta(h, _META_PROP, "og:type")
-    date_raw = _meta(h, _META_PROP, "article:published_time")
+    canonical = _meta(head, _META_PROP, "og:url")
+    description = _meta(head, _META_NAME, "description")
+    sitename = _meta(head, _META_PROP, "og:site_name")
+    author = _meta(head, _META_NAME, "author")
+    image = _meta(head, _META_PROP, "og:image")
+    page_type = _meta(head, _META_PROP, "og:type")
+    date_raw = _meta(head, _META_PROP, "article:published_time")
     date = pd.to_datetime(date_raw, errors="coerce", utc=True).dt.tz_localize(None)
-    keywords = _meta(h, _META_NAME, "keywords")
-    section = _meta(h, _META_PROP, "article:section")
-    license_url = h.str.extract(r'<link\s+rel="license"\s+href="([^"]*)"', expand=False)
+    keywords = _meta(head, _META_NAME, "keywords")
+    section = _meta(head, _META_PROP, "article:section")
+    license_url = head.str.extract(r'<link\s+rel="license"\s+href="([^"]*)"', expand=False)
     language = h.str.extract(r'<html[^>]*\slang="([^"]*)"', expand=False)
 
     tags = keywords.map(
@@ -101,11 +106,16 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     categories = section.map(lambda s: [s] if isinstance(s, str) and s else None)
 
     # ---- main text ----
-    body = h.str.replace(r"(?s)<!--.*?-->", "", regex=True)
-    body = body.str.replace(r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", "", regex=True)
-    scoped = body.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
-    fallback = body.str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
-    scoped = scoped.fillna(fallback).fillna(body)
+    # scope FIRST (article, else body, else whole doc), then strip
+    # boilerplate inside the scope only — the expensive regex passes run
+    # over the ~half-size scoped substring instead of the full document
+    scoped = h.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
+    fallback = h.str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
+    scoped = scoped.fillna(fallback).fillna(h)
+    scoped = scoped.str.replace(r"(?s)<!--.*?-->", "", regex=True)
+    scoped = scoped.str.replace(
+        r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", "", regex=True
+    )
     scoped = scoped.str.replace(
         r"(?is)<(nav|aside|footer|header|form)[^>]*>.*?</\1>", "", regex=True
     )

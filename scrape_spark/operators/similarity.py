@@ -150,19 +150,32 @@ def ann_topk_lsh(
     )
 
 
+def normalized(vec_col: Column) -> Column:
+    """Unit-normalize in double precision: x / sqrt(Σx²), sequential fold."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    n = F.sqrt(_norm2(vd))
+    return F.transform(vd, lambda x: x / n)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs (i < j) with cosine > threshold — brute-force exact."""
-    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    """All pairs (i < j) with cosine > threshold — brute-force exact.
+    Each vector is unit-normalized ONCE (cached — Catalyst would otherwise
+    inline the normalization into every pair), so the O(n²) stage is a
+    single 64-wide dot fold per pair instead of dot+two norms."""
+    base = df.select(
+        F.col(id_col).alias("__id"), normalized(F.col(vec_col)).alias("__vn")
+    ).cache()
+    a = base.select(F.col("__id").alias("i"), F.col("__vn").alias("va"))
+    b = base.select(F.col("__id").alias("j"), F.col("__vn").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("i") < F.col("j"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")))
         .filter(F.col("sim") > threshold)
         .select("i", "j", F.round("sim", 6).alias("sim_r"))
     )
