@@ -69,6 +69,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # warmup: JIT/codegen/Arrow path compile on a slice, then measure
+    batch_extract(spark, pages.select("url").limit(2000), pages, store=None).count()
+
     # headline: full memoization-less fetch+extract over the whole corpus
     t0 = time.time()
     out = batch_extract(spark, pages.select("url"), pages, store=None)
