@@ -693,6 +693,54 @@ def feed_explode(spark, sf):
     )
 
 
+# -- K3: md5 basename for golden-fixture naming --------------------------------
+
+@_q(
+    "md5_basename",
+    """SELECT doc_id,
+              md5('https://docs.test/d/' || doc_id) AS fixture_name
+       FROM documents""",
+)
+def md5_basename(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("https://docs.test/d/"), F.col("doc_id").cast("string"))).alias(
+            "fixture_name"
+        ),
+    )
+
+
+# -- F6/F9: wildcard→LIKE rewrite with case folding ------------------------------
+
+@_q(
+    "wildcard_like",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE lower(c_name) LIKE '%er#0000001%'""",
+)
+def wildcard_like(spark, sf):
+    from scrape_spark.functions.textfns import wildcard_to_like
+
+    c = _t(spark, sf, "customer")
+    return c.filter(F.lower(F.col("c_name")).like(wildcard_to_like("er#0000001"))).select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q("metadata_json")  # rows-only: JSON field-order/format is engine-specific
+def metadata_json_q(spark, sf):
+    from scrape_spark.operators.json_sink import metadata_json_col
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("key"),
+        F.concat(F.lit("https://docs.test/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("content_text"),
+        "lang",
+        "source",
+    )
+    return d.select("key", metadata_json_col(d).alias("metadata"))
+
+
 # -- flagship pipeline as a rows-only query -------------------------------------------------
 
 @_q("batch_pipeline")  # rows-only: full UDF pipeline, no SQL analog
