@@ -90,7 +90,7 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING_RUNS.md"), "a") as f:
         f.write(
             f"| {lo['pages']} | {lo['throughput']} | {hi['throughput']} | {round(eff,3)} | "
             f"{'PASS' if eff >= 0.8 else 'FAIL'} |\n"
