@@ -96,6 +96,21 @@ def wildcard_to_like(pattern: str) -> str:
     return f"%{pattern}%"
 
 
+def canonical_mime_headers(col: str | Column) -> Column:
+    """K10: canonicalize header-map keys to MIME form (Content-Type, not
+    content-type) — internal/settings/mime_header.go:12-18. Pure JVM:
+    transform_keys with per-dash-segment title-casing."""
+    c = _c(col)
+    seg_fixed = lambda k: F.concat_ws(  # noqa: E731
+        "-",
+        F.transform(
+            F.split(F.lower(k), "-"),
+            lambda s: F.concat(F.upper(F.substring(s, 1, 1)), F.substring(s, 2, 1000)),
+        ),
+    )
+    return F.transform_keys(c, lambda k, _v: seg_fixed(k))
+
+
 # UA alias expansion — ua/user_agent.go:6-30.
 UA_ALIASES = {
     ":firefox:": (

@@ -72,6 +72,14 @@ def test_wildcard_rewrite():
     assert textfns.wildcard_to_like("foo*") == "foo%"
 
 
+def test_mime_header_canonicalization(spark):
+    df = spark.createDataFrame(
+        [({"content-type": "text/html", "x-CUSTOM-header": "1"},)], "h map<string,string>"
+    )
+    out = df.select(textfns.canonical_mime_headers("h").alias("h")).collect()[0].h
+    assert out == {"Content-Type": "text/html", "X-Custom-Header": "1"}
+
+
 def test_ua_alias(spark):
     df = spark.createDataFrame([(":chrome:",), ("custom-ua",)], ["ua"])
     out = [r.u for r in df.select(textfns.expand_ua("ua").alias("u")).collect()]
