@@ -59,9 +59,16 @@ _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
 
 
 def _unescape(s: pd.Series) -> pd.Series:
+    # only rows containing '&' can hold entities — skip the rest entirely
+    mask = s.str.contains("&", regex=False).eq(True)  # NaN → False, no downcast
+    if not mask.any():
+        return s
+    sub = s[mask]
     for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    return s
+        sub = sub.str.replace(ent, ch, regex=False)
+    out = s.copy()
+    out[mask] = sub
+    return out
 
 
 def _meta(h: pd.Series, pattern: str, key: str) -> pd.Series:
@@ -72,9 +79,9 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     """Vectorized extraction over one Arrow batch of raw page bytes."""
     n = len(html)
     raw = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    raw = pd.Series(raw, dtype="string")
+    raw = raw.astype(object)  # object dtype: no extension-array copy of the corpus
 
-    looks_html = raw.str.match(r"\s*<").fillna(False)
+    looks_html = raw.str.match(r"\s*<").eq(True)
     err = pd.Series([None] * n, dtype=object)
     err[~looks_html] = "unsupported content type: not html"
     h = raw.where(looks_html, "")
@@ -107,17 +114,20 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
 
     # ---- main text ----
     # scope FIRST (article, else body, else whole doc), then strip
-    # boilerplate inside the scope only — the expensive regex passes run
-    # over the ~half-size scoped substring instead of the full document
+    # boilerplate inside the scope only. The body-fallback extract runs only
+    # on rows without an <article>, and comment/script/boilerplate removal is
+    # ONE alternation pass — this kernel is DRAM-bandwidth-bound at high
+    # parallelism, so every full-text pass removed raises the scaling ceiling.
     scoped = h.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
-    fallback = h.str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
-    scoped = scoped.fillna(fallback).fillna(h)
-    scoped = scoped.str.replace(r"(?s)<!--.*?-->", "", regex=True)
+    miss = scoped.isna()
+    if miss.any():
+        fallback = h[miss].str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
+        scoped = scoped.copy()
+        scoped[miss] = fallback.fillna(h[miss])
     scoped = scoped.str.replace(
-        r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", "", regex=True
-    )
-    scoped = scoped.str.replace(
-        r"(?is)<(nav|aside|footer|header|form)[^>]*>.*?</\1>", "", regex=True
+        r"(?is)<!--.*?-->|<(script|style|noscript|nav|aside|footer|header|form)[^>]*>.*?</\1>",
+        "",
+        regex=True,
     )
     scoped = scoped.str.replace(r"(?i)</(p|h[1-6]|li|tr|div|blockquote)>|<br\s*/?>", "\n", regex=True)
     scoped = scoped.str.replace(r"(?s)<[^>]+>", " ", regex=True)
