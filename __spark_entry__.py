@@ -741,6 +741,42 @@ def metadata_json_q(spark, sf):
     return d.select("key", metadata_json_col(d).alias("metadata"))
 
 
+# -- the north-rule crawl itself: BFS epochs with politeness ---------------------
+
+@_q("crawl_bfs")  # rows-only: deterministic crawl order has no SQL analog —
+def crawl_bfs(spark, sf):  # equivalence vs the Python reference model is pinned in pytest
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from scrape_spark.operators.frontier import Crawl, CrawlConfig
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.sources.pages import robots_table, seed_urls, synth_pages
+
+    n_hosts, per_host, epochs = 4, 25, 2
+    pages = synth_pages(spark, n_hosts, per_host)
+    tmp = tempfile.mkdtemp(prefix="crawl_bfs_")
+    crawl = Crawl(
+        spark,
+        f"{tmp}/state",
+        UrlStore(spark, f"{tmp}/store", n_buckets=4),
+        pages,
+        robots_table(spark, n_hosts),
+        CrawlConfig(epoch_seconds=4.0, n_buckets=4, shuffle_partitions=4),
+    )
+    crawl.run(epochs, seeds=seed_urls(n_hosts))
+    logs = [
+        spark.read.parquet(f"{tmp}/state/epochs/e{e:05d}/selected.parquet")
+        for e in range(epochs)
+    ]
+    out = logs[0]
+    for df in logs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("epoch", "host", "rank").select(
+        "epoch", FF.col("key"), "url", "host", "depth", "rank"
+    )
+
+
 # -- flagship pipeline as a rows-only query -------------------------------------------------
 
 @_q("batch_pipeline")  # rows-only: full UDF pipeline, no SQL analog
