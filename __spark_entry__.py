@@ -777,14 +777,54 @@ def crawl_bfs(spark, sf):  # equivalence vs the Python reference model is pinned
     )
 
 
-# -- flagship pipeline as a rows-only query -------------------------------------------------
+# -- flagship pipeline, oracle-checked -------------------------------------------------
+#
+# The full fetch+extract plan over the synthetic pages corpus derived from
+# `documents`. Because pages_from_documents builds HTML from a fixed template,
+# every extracted field is a deterministic function of the documents row, so
+# the WHOLE pipeline (minus the FNV key, checked separately by `key_hash` +
+# pytest bit-parity, and the wall-clock fetch_time/expires, checked as a
+# constant TTL delta) is DuckDB-expressible. ArrayType columns are projected
+# through array_join so the driver's pandas canonicalizer can sort them.
 
-@_q("batch_pipeline")  # rows-only: full UDF pipeline, no SQL analog
+@_q(
+    "batch_pipeline",
+    """SELECT 'https://doc' || (doc_id % 50) || '.test/d/' || doc_id AS url,
+              'https://doc' || (doc_id % 50) || '.test/d/' || doc_id AS parsed_url,
+              'https://doc' || (doc_id % 50) || '.test/d/' || doc_id AS original_url,
+              1 AS fetch_method,
+              200 AS status_code,
+              NULL::VARCHAR AS error,
+              'doc' || (doc_id % 50) || '.test' AS hostname,
+              'Document ' || doc_id AS title,
+              'doc from ' || source AS description,
+              source AS sitename,
+              'Gen ' || source AS authors,
+              NULL::VARCHAR AS categories,
+              NULL::VARCHAR AS tags,
+              lang AS language,
+              NULL::VARCHAR AS image,
+              'article' AS page_type,
+              NULL::VARCHAR AS license,
+              'Document ' || doc_id || chr(10) || text AS content_text,
+              2592000::BIGINT AS ttl_s
+       FROM documents""",
+)
 def batch_pipeline(spark, sf):
     from scrape_spark.plans.batch_extract import batch_extract, pages_from_documents
 
     pages = pages_from_documents(_t(spark, sf, "documents"))
-    return batch_extract(spark, pages.select("url"), pages, store=None)
+    res = batch_extract(spark, pages.select("url"), pages, store=None)
+    return res.select(
+        "url", "parsed_url", "original_url", "fetch_method", "status_code",
+        "error", "hostname", "title", "description", "sitename",
+        F.array_join("authors", "|").alias("authors"),
+        F.array_join("categories", "|").alias("categories"),
+        F.array_join("tags", "|").alias("tags"),
+        "language", "image", "page_type", "license", "content_text",
+        (F.col("expires").cast("timestamp").cast("long")
+         - F.col("fetch_time").cast("timestamp").cast("long")).alias("ttl_s"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -117,7 +117,12 @@ def batch_extract(
     req = prepare_requests(requests)
     # In-flight dedupe by requested key — strictly stronger than the
     # reference's REPLACE-race (SURVEY §2.8), same observable store state.
-    req = req.dropDuplicates(["key"])
+    # Invalid URLs have key = NULL; dropDuplicates treats NULLs as equal, so
+    # dedupe on coalesce(key, hash(original_url)) — the reference emits one
+    # error row per malformed input (internal/scrape.go:170-177).
+    req = req.withColumn(
+        "__dedupe_key", F.coalesce(F.col("key"), F.xxhash64("original_url"))
+    ).dropDuplicates(["__dedupe_key"]).drop("__dedupe_key")
 
     if store is None:
         results = fetch_and_extract(req, pages, ttl_seconds=30 * 24 * 3600)

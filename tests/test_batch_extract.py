@@ -68,6 +68,23 @@ def test_batch_end_to_end(spark, pages, tmp_path):
     assert stored.count() == n_good
 
 
+def test_multiple_invalid_urls_each_get_an_error_row(spark, pages, tmp_path):
+    """One error row PER malformed input (internal/scrape.go:170-177,
+    api/payloads.go:27-49) — null keys must not collapse in the dedupe."""
+    store = UrlStore(spark, str(tmp_path / "s5"), n_buckets=8)
+    urls = ["not a url", "also::not::a::url", "ftp://wrong-scheme.test/x", page_url(0, 1)]
+    out = batch_extract(spark, _req_df(spark, urls), pages, store).collect()
+    assert len(out) == 4
+    errs = {r.original_url: r.error for r in out if r.error is not None}
+    assert set(errs) == {"not a url", "also::not::a::url", "ftp://wrong-scheme.test/x"}
+    assert all(e.startswith("invalid url") for e in errs.values())
+    # identical invalid URLs still dedupe like identical valid ones do
+    out2 = batch_extract(
+        spark, _req_df(spark, ["not a url", "not a url"]), pages, store
+    ).collect()
+    assert len(out2) == 1
+
+
 def test_cache_hit_keeps_fetch_time_and_skips_fetch(spark, pages, tmp_path):
     store = UrlStore(spark, str(tmp_path / "s2"), n_buckets=8)
     url = page_url(1, 3)

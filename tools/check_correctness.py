@@ -36,6 +36,15 @@ def norm_cell(v):
     return str(v)
 
 
+def driver_canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the DRIVER's canonicalizer, which is stricter than ours: it
+    pandas-sort_values over every column, which raises TypeError on unhashable
+    cells (lists/ndarrays) and TypeError on mixed-type object columns. Any
+    query whose result trips this here would FAIL the real driver check even
+    if our own frame_hash coped (round-1 lesson: batch_pipeline)."""
+    return pdf.sort_values(by=list(sorted(pdf.columns))).reset_index(drop=True)
+
+
 def frame_hash(pdf: pd.DataFrame) -> str:
     cols = sorted(pdf.columns)
     rows = sorted(
@@ -67,6 +76,12 @@ def main():
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error {ex}")
+            failures.append(name)
+            continue
+        try:
+            driver_canon(spdf)
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: driver canonicalizer would crash: {type(ex).__name__} {ex}")
             failures.append(name)
             continue
         if name not in sqls:
