@@ -109,7 +109,8 @@ class DomainSettingsStore:
         ).withColumn("dkey", F.xxhash64(F.col("domain")))
         touched = self.table.touched_buckets(probe.select("dkey"))
         if not touched:
-            return self.table.current_snapshot() or -1
+            cur = self.table.current_snapshot()
+            return cur if cur is not None else -1
         remaining = self.table.read(buckets=touched).join(
             probe.select("dkey"), "dkey", "left_anti"
         )

@@ -159,10 +159,27 @@ class ManifestTable:
     def touched_buckets(self, df: DataFrame) -> list[int]:
         rows = (
             df.select(bucket_expr(self.key_col, self.n_buckets).alias("b"))
+            .where(F.col("b").isNotNull())
             .distinct()
             .collect()
         )
         return sorted(r.b for r in rows)
+
+    def bytes_in_buckets(self, buckets: list[int] | None = None) -> int:
+        """On-disk parquet bytes of the given buckets in the current snapshot
+        (all buckets when None) — manifest metadata only, no scan. Used to
+        size-gate broadcast decisions."""
+        man = self._load_manifest()
+        total = 0
+        for b, fl in man["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for f in fl:
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    pass
+        return total
 
 
 class UrlStore:
@@ -174,9 +191,13 @@ class UrlStore:
         root: str,
         n_buckets: int = 16,
         ttl_seconds: int = DEFAULT_TTL_SECONDS,
+        broadcast_threshold_bytes: int = 32 << 20,
     ):
         self.spark = spark
         self.ttl_seconds = ttl_seconds
+        # Pruned id_map slices at or under this many on-disk parquet bytes are
+        # broadcast in resolve_keys; larger slices shuffle (AQE decides).
+        self.broadcast_threshold_bytes = broadcast_threshold_bytes
         self.urls = ManifestTable(
             spark, os.path.join(root, "urls"), URL_STORE_SCHEMA, "key", n_buckets
         )
@@ -250,13 +271,22 @@ class UrlStore:
     # -- read (S6 + J1 + F3) ---------------------------------------------------
     def resolve_keys(self, requested: DataFrame, key_col: str = "key") -> DataFrame:
         """J1 alias-resolution join: requested key → canonical key, falling
-        back to the requested key on mapping miss. id_map is broadcast when
-        small (dim-shaped); at 10^10 scale this becomes a bucket-co-located
-        sort-merge join (both sides hashed by the same key)."""
-        id_map = self.id_map.read()
+        back to the requested key on mapping miss.
+
+        Scale posture: id_map has one row per stored URL — at a 10^10-URL
+        frontier it is store-sized, NOT dim-sized, so it must never be
+        unconditionally broadcast. The join is bucket-pruned first (id_map is
+        hash-bucketed by requested_id, the join key, so only the buckets the
+        batch's keys hash to are even opened), then broadcast ONLY when the
+        pruned slice is provably small by manifest file size; otherwise it is
+        a plain equi-join and AQE picks the physical strategy."""
+        buckets = self.id_map.touched_buckets(requested.select(F.col(key_col).alias(self.id_map.key_col)))
+        id_map = self.id_map.read(buckets=buckets)
+        if self.id_map.bytes_in_buckets(buckets) <= self.broadcast_threshold_bytes:
+            id_map = F.broadcast(id_map)
         return (
             requested.join(
-                F.broadcast(id_map),
+                id_map,
                 requested[key_col] == id_map["requested_id"],
                 "left",
             )
@@ -279,7 +309,9 @@ class UrlStore:
             ).distinct().collect()
         )
         store = self.urls.read(buckets=buckets).filter(is_fresh("expires"))
-        probe = resolved.drop("key")
+        # keep only original_url + canonical_key on the probe side — the store
+        # row carries parsed_url, and a duplicate name breaks downstream selects
+        probe = resolved.select("original_url", "canonical_key")
         out = probe.join(
             store, probe["canonical_key"] == store["key"], "inner"
         ).drop("canonical_key")
@@ -293,7 +325,8 @@ class UrlStore:
         resolved = self.resolve_keys(req).select(F.col("canonical_key").alias("key"))
         touched = self.urls.touched_buckets(resolved)
         if not touched:
-            return self.urls.current_snapshot() or -1
+            cur = self.urls.current_snapshot()
+            return cur if cur is not None else -1
         remaining = self.urls.read(buckets=touched).join(resolved, "key", "left_anti")
         return self.urls.replace_buckets(remaining, touched, meta={"op": "delete"})
 

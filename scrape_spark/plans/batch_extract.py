@@ -128,8 +128,17 @@ def batch_extract(
         results = fetch_and_extract(req, pages, ttl_seconds=30 * 24 * 3600)
         return results
 
+    req = req.cache()  # probed twice: id_map bucket prune + store bucket prune
     resolved = store.resolve_keys(req)
-    fresh = store.urls.read().filter(F.col("expires") > F.current_timestamp())
+    # Bucket-pruned cache probe: the store is hash-bucketed by key, so a batch
+    # only opens the buckets its canonical keys hash to — at 100 TB a batch
+    # never pays a full-table scan (same pattern as UrlStore.fetch).
+    probe_buckets = store.urls.touched_buckets(
+        resolved.select(F.col("canonical_key").alias("key"))
+    )
+    fresh = store.urls.read(buckets=probe_buckets).filter(
+        F.col("expires") > F.current_timestamp()
+    )
     fresh = fresh.select([F.col(c).alias(f"s_{c}") for c in fresh.columns])
     joined = resolved.join(
         fresh, resolved["canonical_key"] == fresh["s_key"], "left"

@@ -108,6 +108,30 @@ def test_alias_lookup_after_store(spark, pages, tmp_path):
     assert len(got) == 1 and got[0].url == page_url(2, 22)
 
 
+def test_cache_split_is_bucket_pruned(spark, pages, tmp_path):
+    """A batch probes only the store buckets its keys hash to — never a
+    full-table scan (at 100 TB the unpruned read is the whole store)."""
+    store = UrlStore(spark, str(tmp_path / "s6"), n_buckets=8)
+    warm = [page_url(0, i) for i in range(1, 9)]  # spread across buckets
+    batch_extract(spark, _req_df(spark, warm), pages, store).count()
+
+    seen_buckets = []
+    orig_read = store.urls.read
+
+    def spy_read(snapshot=None, buckets=None):
+        seen_buckets.append(buckets)
+        return orig_read(snapshot=snapshot, buckets=buckets)
+
+    store.urls.read = spy_read
+    out = batch_extract(
+        spark, _req_df(spark, [page_url(0, 1)]), pages, store, save=False
+    )
+    assert out.count() == 1
+    probe_reads = [b for b in seen_buckets if b is not None]
+    assert probe_reads and all(len(b) == 1 for b in probe_reads)
+    assert None not in seen_buckets  # no unpruned full read anywhere
+
+
 def test_unordered_union_has_all_columns(spark, pages, tmp_path):
     from scrape_spark.schemas import RESULT_SCHEMA
 

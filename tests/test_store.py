@@ -147,6 +147,43 @@ def test_snapshot_time_travel(spark, store):
     assert titles == {"two"}
 
 
+def test_resolve_keys_does_not_broadcast_big_id_map(spark, store, tmp_path):
+    """id_map is store-sized at frontier scale — resolve_keys must not force
+    a broadcast when the pruned slice exceeds the size gate."""
+    urls = [f"https://example.com/b{i}" for i in range(60)]
+    _merge(spark, store, [_result_row(u, expires=dt.datetime(2099, 1, 1)) for u in urls])
+
+    probe = spark.createDataFrame(
+        [(url_key_py(clean_url_py(u)),) for u in urls], ["key"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # gate closed (threshold 0) → no broadcast hint → shuffle join
+        store.broadcast_threshold_bytes = 0
+        plan = store.resolve_keys(probe)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # gate open → broadcast hint honored even with auto-broadcast off
+        store.broadcast_threshold_bytes = 32 << 20
+        plan = store.resolve_keys(probe)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # semantics unchanged either way
+    store.broadcast_threshold_bytes = 0
+    resolved = {r.key: r.canonical_key for r in store.resolve_keys(probe).collect()}
+    assert all(k == v for k, v in resolved.items()) and len(resolved) == 60
+
+
+def test_fetch_output_has_unambiguous_columns(spark, store):
+    url = "https://example.com/amb"
+    _merge(spark, store, [_result_row(url, expires=dt.datetime(2099, 1, 1))])
+    out = store.fetch([url])
+    assert out.columns.count("parsed_url") == 1
+    # name-based select must not raise AMBIGUOUS_REFERENCE
+    assert out.select("parsed_url").collect()[0].parsed_url == url
+
+
 def test_merge_prunes_buckets(spark, store):
     # A single-key merge must not rewrite untouched buckets' files.
     urls = [f"https://example.com/p{i}" for i in range(40)]
