@@ -95,6 +95,7 @@ def ann_topk_lsh(
     n_planes: int = 6,
     n_tables: int = 10,
     multiprobe: bool = True,
+    min_corpus_rows: int = 50_000,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: a candidate shares a
     sign bucket with the query in ANY of n_tables independent tables (plus
@@ -102,7 +103,16 @@ def ann_topk_lsh(
     exact cosine — approximate recall, exact precision. The bucket equi-join
     replaces the cross join: per table the probe fan-out is
     |queries| × (n_planes+1), so work scales with bucket occupancy, not
-    |corpus| × |queries|."""
+    |corpus| × |queries|.
+
+    Size gate: building n_tables signature sets costs ~n_tables × |corpus|
+    plane dots up front, so LSH only beats exact brute force once the corpus
+    amortizes that setup (measured crossover on this host: ~30-60k rows for
+    10 queries — see BENCH_NOTES.md). Below ``min_corpus_rows`` this falls
+    back to the exact ``ann_topk`` (better AND faster there); pass 0 to force
+    the LSH path (tests do)."""
+    if min_corpus_rows and corpus.count() < min_corpus_rows:
+        return ann_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     c_sides, q_sides = [], []
     for t in range(n_tables):
         sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + 101 * t)
@@ -157,16 +167,15 @@ def normalized(vec_col: Column) -> Column:
     return F.transform(vd, lambda x: x / n)
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_naive(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs (i < j) with cosine > threshold — brute-force exact.
-    Each vector is unit-normalized ONCE (cached — Catalyst would otherwise
-    inline the normalization into every pair), so the O(n²) stage is a
-    single 64-wide dot fold per pair instead of dot+two norms."""
+    """All pairs (i < j) with cosine > threshold — row-pair crossJoin with a
+    per-pair Catalyst fold. Exact but the fold is not codegen'd, so this is
+    the slow shape; kept ONLY as the test oracle for the blocked version."""
     base = df.select(
         F.col(id_col).alias("__id"), normalized(F.col(vec_col)).alias("__vn")
     ).cache()
@@ -179,3 +188,103 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") > threshold)
         .select("i", "j", F.round("sim", 6).alias("sim_r"))
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """All pairs (i < j) with cosine > threshold — EXACT, via distributed
+    blocked matrix multiply (the classic block-pair decomposition of an
+    all-pairs similarity join; cf. Spark MLlib's columnSimilarities which
+    takes the same shape for the exact case).
+
+    Plan: unit-normalize once (JVM fold, same formula as the SQL oracle) →
+    hash vectors into B row-blocks of ~``block_rows`` each, packing every
+    block into ONE Arrow row (ids + row-major matrix) → enumerate the
+    B(B+1)/2 unordered block pairs as a tiny exploded key table → two
+    equi-joins attach the block payloads → one vectorized numpy GEMM per
+    block pair inside mapInPandas, emitting only pairs above threshold.
+
+    Why this survives 100×: the quadratic work of an exact all-pairs join is
+    irreducible, but here it is (a) organized as B² independent tasks whose
+    size is capped by ``block_rows`` regardless of n, (b) executed as dense
+    GEMM (~10⁹ dot-components/s/core) instead of per-pair Catalyst folds
+    (~10⁷/s), and (c) shuffles O(n·B) block bytes, never materializing the
+    n² pair rows — only qualifying pairs exit the UDF. For genuinely
+    planet-scale corpora where even B² tasks are too many, the approximate
+    path is `ann_topk_lsh` / minhash-banded candidates with a recall target.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, -(-n // block_rows))
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        normalized(F.col(vec_col)).alias("__vn"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("g"),
+    )
+
+    pack_schema = "g int, ids array<long>, mat array<double>"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__vn"]])
+        return pd.DataFrame(
+            {"g": [int(pdf["g"].iloc[0])], "ids": [ids.tolist()], "mat": [mat.ravel().tolist()]}
+        )
+
+    blocks = base.groupBy("g").applyInPandas(_pack, schema=pack_schema)
+
+    # unordered block-pair keys (ga <= gb): B(B+1)/2 rows, pure JVM
+    pair_keys = (
+        spark.range(n_blocks)
+        .select(
+            F.col("id").cast("int").alias("ga"),
+            F.explode(F.sequence(F.col("id").cast("int"), F.lit(n_blocks - 1))).alias("gb"),
+        )
+    )
+    a = blocks.select(F.col("g").alias("ga"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"))
+    b = blocks.select(F.col("g").alias("gb"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"))
+    tasks = pair_keys.join(a, "ga").join(b, "gb").repartition(
+        min(n_blocks * (n_blocks + 1) // 2, 2 * spark.sparkContext.defaultParallelism)
+    )
+
+    thr = float(threshold)
+
+    def _gemm(batches):
+        for pdf in batches:
+            out_i, out_j, out_s = [], [], []
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.ids_a, dtype=np.int64)
+                ib = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.asarray(r.mat_a, dtype=np.float64).reshape(len(ia), -1)
+                Bm = np.asarray(r.mat_b, dtype=np.float64).reshape(len(ib), -1)
+                S = A @ Bm.T
+                sel = S > thr
+                if r.ga == r.gb:
+                    # upper triangle only: each unordered pair once, no self-pairs
+                    sel &= np.arange(len(ia))[:, None] < np.arange(len(ib))[None, :]
+                ki, kj = np.nonzero(sel)
+                if len(ki) == 0:
+                    continue
+                ii, jj = ia[ki], ib[kj]
+                out_i.append(np.minimum(ii, jj))
+                out_j.append(np.maximum(ii, jj))
+                out_s.append(S[ki, kj])
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(out_i),
+                        "j": np.concatenate(out_j),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    pairs = tasks.mapInPandas(_gemm, schema="i long, j long, sim double")
+    return pairs.select("i", "j", F.round("sim", 6).alias("sim_r"))

@@ -112,11 +112,39 @@ def test_ann_lsh_recall(spark, embeddings):
     approx = {
         (r.q_id, r.n_id)
         for r in ann_topk_lsh(
-            embeddings, queries, k=5, n_planes=6, n_tables=10, multiprobe=True
+            embeddings, queries, k=5, n_planes=6, n_tables=10, multiprobe=True,
+            min_corpus_rows=0,  # force the LSH path despite the tiny corpus
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall  # floor for 10-table 6-plane multiprobe LSH
+
+
+def test_ann_lsh_size_gate_falls_back_to_exact(spark, embeddings):
+    """Below the crossover the gated LSH call returns the exact brute-force
+    answer (identical rows), so the scale path never loses where brute wins."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {tuple(r) for r in ann_topk(embeddings, queries, k=3).collect()}
+    gated = {tuple(r) for r in ann_topk_lsh(embeddings, queries, k=3).collect()}
+    assert gated == exact
+
+
+def test_embedding_neardup_blocked_equals_naive(spark, embeddings):
+    from scrape_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_naive,
+    )
+
+    naive = {(r.i, r.j, r.sim_r) for r in
+             embedding_neardup_pairs_naive(embeddings, threshold=0.4).collect()}
+    assert naive, "corpus must contain qualifying pairs"
+    for nb in (1, 7):  # single-block degenerate + multi-block hash split
+        blocked = {(r.i, r.j, r.sim_r) for r in
+                   embedding_neardup_pairs(
+                       embeddings, threshold=0.4,
+                       block_rows=(10_000 if nb == 1 else 30),
+                   ).collect()}
+        assert blocked == naive, f"nb={nb}"
 
 
 def test_ann_topk_is_exact_and_ordered(spark, embeddings):
