@@ -7,10 +7,11 @@
   query side is broadcast; the corpus stays distributed; per-query top-k is
   a window rank. At 100 TB the window shuffle is bounded by
   |queries| × |corpus partition| candidates.
-- ``ann_topk_lsh``: the scale path — random-hyperplane sign buckets
-  (deterministic seeded planes), candidates = bucket collisions with
-  optional 1-bit multiprobe, then exact cosine rank within candidates.
-  Approximate recall, exact precision on what it returns (recall tested).
+- ``ann_topk_lsh``: the scale path — multi-table random-hyperplane sign
+  buckets (deterministic seeded planes, adaptive plane count), candidates =
+  bucket collisions under query-directed multiprobe, then exact cosine rank
+  within candidates. Approximate recall, exact precision on what it returns
+  (recall tested); size-gated to brute force below the measured crossover.
 - ``embedding_neardup_pairs``: all pairs above a cosine threshold (the
   embedding variant of near-dup dedupe).
 """
@@ -18,6 +19,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,10 +94,10 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 10,
     multiprobe: bool = True,
-    min_corpus_rows: int = 50_000,
+    min_corpus_rows: int = 150_000,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: a candidate shares a
     sign bucket with the query in ANY of n_tables independent tables (plus
@@ -107,45 +109,83 @@ def ann_topk_lsh(
 
     Size gate: building n_tables signature sets costs ~n_tables × |corpus|
     plane dots up front, so LSH only beats exact brute force once the corpus
-    amortizes that setup (measured crossover on this host: ~30-60k rows for
-    10 queries — see BENCH_NOTES.md). Below ``min_corpus_rows`` this falls
-    back to the exact ``ann_topk`` (better AND faster there); pass 0 to force
-    the LSH path (tests do)."""
-    if min_corpus_rows and corpus.count() < min_corpus_rows:
+    amortizes that setup (measured crossover on this host — see
+    BENCH_NOTES.md). Below ``min_corpus_rows`` this falls back to the exact
+    ``ann_topk`` (better AND faster there); pass 0 to force the LSH path
+    (tests do).
+
+    All n_tables signatures are computed in ONE vectorized Arrow pass per
+    row (a single (n×dim)·(dim×tables·planes) numpy GEMM, sign-packed into
+    per-table bucket ids) and fanned out with posexplode — one corpus scan
+    total, vs the naive one-scan-per-table union shape which was 12× slower
+    at 5-20k rows."""
+    n_corpus = corpus.count()
+    if min_corpus_rows and n_corpus < min_corpus_rows:
         return ann_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    c_sides, q_sides = [], []
-    for t in range(n_tables):
-        sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + 101 * t)
-        c_sides.append(
-            corpus.select(
-                F.col(id_col).alias("n_id"),
-                F.col(vec_col).alias("n_vec"),
-                F.lit(t).alias("table"),
-                sig.alias("bucket"),
-            )
+    if n_planes is None:
+        # scale bucket count with n so per-bucket occupancy (the candidate
+        # cost driver) stays ~500 rows regardless of corpus size
+        n_planes = int(max(4, min(16, np.ceil(np.log2(max(2.0, n_corpus / 500))))))
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.hstack(
+        [
+            np.random.RandomState(7 + 101 * t).standard_normal((n_planes, dim)).T
+            for t in range(n_tables)
+        ]
+    )  # (dim, n_tables * n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def all_buckets(v: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (V @ planes) > 0  # (n, T*p)
+        B = bits.reshape(len(V), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(B))
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.posexplode(all_buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    # Query-directed multiprobe (Lv et al., VLDB'07): probe the base bucket
+    # plus the buckets reachable by flipping the bits whose hyperplane margin
+    # |v·plane| is smallest — those are the likeliest homes of near neighbors.
+    # 32 directed probes (all subsets of the 5 lowest-margin bits) measured
+    # recall 0.96 @ 300k rows / 0.88 @ 1M rows on hostile (random Gaussian)
+    # data, vs 0.64-0.70 for blind 1-bit flips at similar cost.
+    n_flip = min(5, n_planes) if multiprobe else 0
+
+    @pandas_udf("array<array<long>>")
+    def probe_sets(v: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        D = (V @ planes).reshape(len(V), n_tables, n_planes)
+        out = []
+        for row in D:
+            tables = []
+            for t in range(n_tables):
+                base = int(((row[t] > 0) @ weights))
+                flips = np.argsort(np.abs(row[t]))[:n_flip]
+                probes = [base]
+                for mask in range(1, 1 << len(flips)):
+                    b = base
+                    for bit in range(len(flips)):
+                        if mask >> bit & 1:
+                            b ^= 1 << int(flips[bit])
+                    probes.append(b)
+                tables.append(probes)
+            out.append(tables)
+        return pd.Series(out)
+
+    q_probes = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(probe_sets(F.col(vec_col))).alias("table", "probes"),
         )
-        q_sides.append(
-            queries.select(
-                F.col(id_col).alias("q_id"),
-                F.col(vec_col).alias("q_vec"),
-                F.lit(t).alias("table"),
-                sig.alias("qb"),
-            )
-        )
-    c = c_sides[0]
-    for s in c_sides[1:]:
-        c = c.unionByName(s)
-    q = q_sides[0]
-    for s in q_sides[1:]:
-        q = q.unionByName(s)
-    if multiprobe:
-        probes = F.array(
-            F.col("qb"),
-            *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-    else:
-        probes = F.array(F.col("qb"))
-    q_probes = q.select("q_id", "q_vec", "table", F.explode(probes).alias("bucket"))
+        .select("q_id", "q_vec", "table", F.explode("probes").alias("bucket"))
+    )
     cand = (
         c.join(F.broadcast(q_probes), ["table", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
@@ -218,8 +258,6 @@ def embedding_neardup_pairs(
     planet-scale corpora where even B² tasks are too many, the approximate
     path is `ann_topk_lsh` / minhash-banded candidates with a recall target.
     """
-    import pandas as pd
-
     spark = df.sparkSession
     n = df.count()
     n_blocks = max(1, -(-n // block_rows))
