@@ -67,11 +67,19 @@ def content_type_error(content_type: str | Column) -> Column:
 
 def status_error(status_code: str | Column) -> Column:
     """HTTP status gate: <200 or >=400 ⇒ error string; resource still emitted
-    partially (F4; fetch/trafilatura/fetcher.go:67-72, fetch/fetch.go:53-63)."""
+    partially (F4; fetch/trafilatura/fetcher.go:67-72, fetch/fetch.go:53-63).
+    504 is the client-timeout class — the reference maps a net timeout to
+    HttpError{504, "... did not reply within 30 seconds"}
+    (fetch/client.go:70-81, pinned fetcher_test.go:249-272)."""
     sc = _c(status_code)
-    return F.when(
-        sc.between(200, 399), F.lit(None).cast("string")
-    ).otherwise(F.concat(F.lit("HTTP error: status code "), sc.cast("string")))
+    return (
+        F.when(sc.between(200, 399), F.lit(None).cast("string"))
+        .when(
+            sc == 504,
+            F.lit("HTTP error: status code 504 (did not reply within 30 seconds)"),
+        )
+        .otherwise(F.concat(F.lit("HTTP error: status code "), sc.cast("string")))
+    )
 
 
 # Domain validation — internal/settings/domain.go:266-313: total length 4-253,

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from scrape_spark.functions.textfns import (
     author_split,
+    content_type_error,
     expires_at,
+    mime_type,
     stamp_fetch_time,
     status_error,
 )
@@ -62,29 +64,106 @@ def _as_result(df: DataFrame) -> DataFrame:
     return df.select(*[F.col(c) for c in RESULT_COLS])
 
 
-def fetch_join(misses: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) -> DataFrame:
     """The 'network' stage: equi-join against the pages corpus (absent ⇒
     404 later), then one vectorized extraction pass. Keeps the extract's
     raw columns (incl. `links`) so callers can derive both result rows and
-    outlink discovery from a single cached extraction."""
-    corpus = pages.select(F.col("url").alias("__page_url"), "html")
+    outlink discovery from a single cached extraction.
+
+    HTTP-response model: the corpus may carry `ctype` (Content-Type header),
+    `status`, and `redirect_to` columns (PAGES_FETCH_SCHEMA); a bare
+    5-column pages table degrades to header-unknown / 200-if-present /
+    no-redirect. 3xx rows with a redirect target are followed transparently
+    up to ``max_redirect_hops`` (the Go http.Client follows up to 10;
+    fetcher_test.go:68-111) — each hop is one more equi-join over only the
+    still-redirecting subset, so the common no-redirect case pays a single
+    join. Rows still redirecting after the hop budget surface the redirect
+    status as an HTTP error (parity: Go returns 'stopped after 10 redirects'
+    as an error)."""
+    cols = set(pages.columns)
+    corpus = pages.select(
+        F.col("url").alias("__page_url"),
+        "html",
+        (F.col("ctype") if "ctype" in cols else F.lit(None).cast("string")).alias("__ctype"),
+        (F.col("status") if "status" in cols else F.lit(None).cast("int")).alias("__status"),
+        (F.col("redirect_to") if "redirect_to" in cols else F.lit(None).cast("string")).alias(
+            "__redirect_to"
+        ),
+    )
     joined = misses.join(
         corpus, misses["parsed_url"] == corpus["__page_url"], "left"
     )
-    return extract_pages(joined, html_col="html")
+    # never-null predicate: False when redirect_to is null (False AND NULL ≡
+    # False), defined when it isn't (coalesce guards a null status)
+    is_redirect = F.col("__redirect_to").isNotNull() & F.coalesce(
+        F.col("__status").between(300, 399), F.lit(True)
+    )
+    done = joined.filter(~is_redirect)
+    pending = joined.filter(is_redirect)
+    req_cols = [c for c in misses.columns]
+    for _hop in range(max_redirect_hops):
+        # follow one hop: re-probe the corpus with the redirect target; the
+        # requested columns ride along unchanged (parsed_url stays the
+        # requested URL — the reference echoes RequestedURL on redirects)
+        hop = pending.select(*req_cols, F.col("__redirect_to").alias("__target"))
+        hopped = hop.join(
+            corpus, hop["__target"] == corpus["__page_url"], "left"
+        ).drop("__target")
+        still = F.col("__redirect_to").isNotNull() & F.coalesce(
+            F.col("__status").between(300, 399), F.lit(True)
+        )
+        done = done.unionByName(hopped.filter(~still))
+        pending = hopped.filter(still)
+    # hop budget exhausted: surface as an error row (Go http.Client:
+    # "stopped after 10 redirects"); 3xx itself is not an error status
+    exhausted = pending.withColumn(
+        "request_error",
+        F.coalesce(
+            F.col("request_error"),
+            F.lit(f"stopped after {max_redirect_hops} redirects"),
+        ),
+    )
+    done = done.unionByName(exhausted)
+    # text/plain bodies ARE the content (no markup to extract) — capture
+    # before extract_pages drops the raw bytes
+    done = done.withColumn(
+        "__plain_text",
+        F.when(mime_type(F.col("__ctype")) == "text/plain", F.decode(F.col("html"), "UTF-8")),
+    )
+    return extract_pages(done, html_col="html")
+
+
+_EXTRACTED_FIELDS = (
+    "title", "description", "sitename", "authors", "date", "categories",
+    "tags", "language", "image", "page_type", "license", "content_text",
+)
 
 
 def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
     """Map one extraction pass to RESULT_SCHEMA rows with the full error
-    taxonomy (invalid-url / 404 / unsupported-content-type)."""
+    taxonomy, gate order as in the reference fetcher (fetcher.go:52-95):
+    invalid-url → 404 absent → HTTP status (<200/≥400, incl. the 504
+    timeout class) → Content-Type header whitelist (415) → byte-sniff 415
+    fallback when no header is modeled. Error rows carry fetch provenance
+    only — the reference never extracts after a gate fires, so extracted
+    metadata is nulled (resource partial-data semantics, fetcher.go:55-72)."""
     found = F.col("__page_url").isNotNull()
-    canonical = F.coalesce(F.col("canonical_url"), F.col("parsed_url"))
-    status = F.when(found, F.lit(200)).otherwise(F.lit(404)).cast("int")
+    status = F.coalesce(
+        F.col("__status"), F.when(found, F.lit(200)).otherwise(F.lit(404))
+    ).cast("int")
     error = F.coalesce(
         F.col("request_error"),
-        F.when(~found, status_error(status)),
-        F.col("extract_error"),
+        F.when(~found, status_error(F.lit(404))),
+        status_error(status),
+        # header gate when the corpus models one; byte-sniff 415 otherwise
+        F.when(
+            F.col("__ctype").isNotNull(), content_type_error(F.col("__ctype"))
+        ).otherwise(F.col("extract_error")),
     )
+    # error rows echo the requested URL (reference: RequestedURL, no canonical)
+    canonical = F.when(
+        error.isNull(), F.coalesce(F.col("canonical_url"), F.col("parsed_url"))
+    ).otherwise(F.col("parsed_url"))
 
     out = (
         extracted.withColumn("status_code", status)
@@ -96,6 +175,17 @@ def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
         .withColumn("fetch_method", F.lit(FETCH_METHOD_DIRECT))
         .withColumn("expires", expires_at("fetch_time", ttl_seconds))
         .withColumn("authors", author_split("author"))
+    )
+    for c in _EXTRACTED_FIELDS:
+        out = out.withColumn(c, F.when(F.col("error").isNull(), F.col(c)))
+    # text/plain is whitelisted but carries no markup — the content IS the
+    # body (trafilatura extracts it verbatim; fetcher_test.go:203-207)
+    out = out.withColumn(
+        "content_text",
+        F.coalesce(
+            F.col("content_text"),
+            F.when(F.col("error").isNull(), F.col("__plain_text")),
+        ),
     )
     return _as_result(out)
 

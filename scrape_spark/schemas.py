@@ -21,6 +21,21 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+# Pages table extended with the HTTP-response model (how the corpus stands in
+# for the network): Content-Type header (F2 gate, fetcher.go:73-88), status
+# code (fetch/fetch.go:53-63; 504 ≙ client timeout, fetch/client.go:70-81),
+# and redirect target (the Go http.Client follows 301/302/303/307/308
+# transparently — fetcher_test.go:68-111). fetch_join accepts either shape;
+# missing columns degrade to ctype-unknown / 200-if-present / no-redirect.
+PAGES_FETCH_SCHEMA = T.StructType(
+    list(PAGES_SCHEMA.fields)
+    + [
+        T.StructField("ctype", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("redirect_to", T.StringType(), True),
+    ]
+)
+
 # Full fetch+extract result row: fetch provenance + page metadata + content.
 # Mirrors the reference's `urls` row + WebPage shred
 # (resource/web_page.go:37-62; internal/storage/storage.go:29-36).

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scrape_spark.schemas import PAGES_SCHEMA, ROBOTS_SCHEMA
+from scrape_spark.schemas import PAGES_FETCH_SCHEMA, ROBOTS_SCHEMA
 
 ALIAS_MOD = 11
 PRIVATE_MOD = 29
@@ -164,10 +164,15 @@ def _gen_batch(pdf: pd.DataFrame, n_hosts: int, per_host: int) -> pd.DataFrame:
             "html": [s.encode("utf-8") for s in html],
             "text": title + "\n" + body_text,
             "lang": lang,
+            "ctype": pd.Series(["text/html"] * len(url), dtype=object),
+            "status": np.full(len(url), 200, dtype=np.int32),
+            "redirect_to": pd.Series([None] * len(url), dtype=object),
         }
     )
 
-    # binary non-HTML pages (415 error-row targets)
+    # binary non-HTML pages (415 error-row targets via the Content-Type
+    # header gate, fetcher.go:73-88; the byte-sniff is the header-less
+    # fallback)
     is_pdf = (j % PDF_MOD == 0) & (j > 0)
     if is_pdf.any():
         pdfs = pd.Series(
@@ -175,6 +180,7 @@ def _gen_batch(pdf: pd.DataFrame, n_hosts: int, per_host: int) -> pd.DataFrame:
         )
         out.loc[is_pdf, "html"] = pdfs.to_numpy()
         out.loc[is_pdf, "text"] = None
+        out.loc[is_pdf, "ctype"] = "application/pdf"
 
     # alias pages: <url>/amp duplicates whose og:url stays the clean URL
     is_alias = (j % ALIAS_MOD == 0) & (j > 0) & ~is_pdf
@@ -195,7 +201,52 @@ def synth_pages(
         for pdf in it:
             yield _gen_batch(pdf, n_hosts, per_host)
 
-    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+    return rng.mapInPandas(gen, schema=PAGES_FETCH_SCHEMA)
+
+
+FIXTURE_HOST = "fixture.ex0.test"
+
+
+def fetch_fixture_pages(spark: SparkSession) -> DataFrame:
+    """Corpus fixture mirroring the reference fetcher's httptest servers —
+    one URL per behavior class, used by tests/test_fetch_model.py:
+
+    - /status/{400,401,403,404,429,500,503}: error statuses
+      (fetcher_test.go:19-66)
+    - /redirect/{301,302,303,307,308} → /200: followed transparently
+      (fetcher_test.go:68-111; Go http.Client default)
+    - /ctype/{html,xhtml,text}: allowed; /ctype/{xml,json,unsupported}: 415
+      (fetcher_test.go:180-247; whitelist fetcher.go:73-88)
+    - /timeout: client timeout ⇒ 504 error class (client.go:70-81,
+      fetcher_test.go:249-272)
+    - /redirect/chain{1,2}: a 2-hop chain (hop limit exercise)
+    """
+    base = f"https://{FIXTURE_HOST}"
+    ok_html = (
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>OK page</title>\n'
+        f'<meta property="og:url" content="{base}/200">\n'
+        "</head>\n<body>\n<article>\n<h1>OK page</h1>\n<p>OK body text.</p>\n"
+        "</article>\n</body>\n</html>\n"
+    ).encode()
+    rows: list[tuple] = [(f"{base}/200", None, ok_html, "OK body text.", "en", "text/html", 200, None)]
+    for sc in (400, 401, 403, 404, 429, 500, 503):
+        rows.append((f"{base}/status/{sc}", None, f"Err: {sc}".encode(), None, None, "text/html", sc, None))
+    for sc in (301, 302, 303, 307, 308):
+        rows.append((f"{base}/redirect/{sc}", None, b"", None, None, "text/html", sc, f"{base}/200"))
+    for name, ctype in (
+        ("html", "text/html"),
+        ("xhtml", "application/xhtml+xml"),
+        ("text", "text/plain"),
+        ("xml", "application/xml"),
+        ("json", "application/json"),
+        ("unsupported", "application/unsupported"),
+    ):
+        body = ok_html if name in ("html", "xhtml") else b"OK"
+        rows.append((f"{base}/ctype/{name}", None, body, None, "en", ctype + "; charset=utf-8", 200, None))
+    rows.append((f"{base}/timeout", None, b"", None, None, "text/html", 504, None))
+    rows.append((f"{base}/redirect/chain1", None, b"", None, None, "text/html", 301, f"{base}/redirect/chain2"))
+    rows.append((f"{base}/redirect/chain2", None, b"", None, None, "text/html", 302, f"{base}/200"))
+    return spark.createDataFrame(rows, schema=PAGES_FETCH_SCHEMA)
 
 
 def ensure_pages(

@@ -59,7 +59,9 @@ def test_batch_end_to_end(spark, pages, tmp_path):
     assert bad.error.startswith("invalid url")
 
     pdf = rows[page_url(0, 37)]
-    assert pdf.error == "unsupported content type: not html"
+    # header gate fires first now that the corpus models Content-Type
+    # (fetcher.go:73-88: the error message is the offending media type)
+    assert pdf.error == "unsupported content type: application/pdf"
 
     # errors never stored; good rows are
     stored = store.urls.read()
