@@ -286,13 +286,19 @@ def simhash_neardup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Candidate pairs via banded simhash segments (pigeonhole: any pair
-    within max_hamming collides in ≥1 of bands segments when
-    bands > max_hamming is not required but improves recall), verified by
-    exact Hamming distance bit_count(i XOR j) <= max_hamming."""
+    """Candidate pairs via banded simhash segments, verified by exact
+    Hamming distance bit_count(i XOR j) <= max_hamming.
+
+    Pigeonhole guarantee: with bands >= max_hamming + 1 (the default), a
+    pair within max_hamming differs in at most max_hamming banded segments,
+    so at least one band matches and the pair is ALWAYS a candidate — zero
+    false negatives. Passing a smaller explicit bands trades that guarantee
+    for fewer shuffle rows (recall becomes probabilistic)."""
+    if bands is None:
+        bands = max_hamming + 1
     seg = bits // bands
     sh = df.select(F.col(id_col).alias("doc_id"), simhash(text_col, bits).alias("sh"))
     band_structs = [

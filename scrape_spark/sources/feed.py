@@ -51,8 +51,53 @@ FEED_SCHEMA = T.StructType(
 
 _ITEM_RE = r"(?s)<(?:item|entry)[\s>](.*?)</(?:item|entry)>"
 _RSS_LINK_RE = r"(?s)<link>\s*(.*?)\s*</link>"
-_ATOM_LINK_RE = r'<link[^>]*href="([^"]+)"'
+_ATOM_LINK_TAG_RE = r"<link\b([^>]*?)/?>"
+_ATTR_RE = r"""(\w[\w:-]*)\s*=\s*["']([^"']*)["']"""
 _TITLE_RE = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
+_CDATA_RE = r"(?s)^<!\[CDATA\[(.*?)\]\]>$"
+
+# minimal XML entity set (spec-defined five + numeric forms handled below)
+_XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def _clean_text(s: str | None) -> str | None:
+    """CDATA unwrap + XML entity unescape (gofeed does both via its XML
+    parser — fetch/feed/feed.go:95-117 consumes the parsed strings)."""
+    import re
+
+    if s is None:
+        return None
+    m = re.match(_CDATA_RE, s.strip())
+    if m:
+        return m.group(1).strip()
+    out = s
+    out = re.sub(r"&#(\d+);", lambda mm: chr(int(mm.group(1))), out)
+    out = re.sub(r"&#x([0-9a-fA-F]+);", lambda mm: chr(int(mm.group(1), 16)), out)
+    for ent, ch in _XML_ENTITIES:  # &amp; last — it guards double-escapes
+        out = out.replace(ent, ch)
+    return out.strip() or None
+
+
+def _atom_link(chunk: str) -> str | None:
+    """Pick the item link among <link> tags the way a feed consumer does:
+    rel="alternate" (or no rel — the Atom default IS alternate, RFC 4287
+    §4.2.7.2) wins over rel=self/enclosure/edit; first qualifying href."""
+    import re
+
+    fallback = None
+    for attrs in re.findall(_ATOM_LINK_TAG_RE, chunk):
+        d = {k.lower(): v for k, v in re.findall(_ATTR_RE, attrs)}
+        href = d.get("href")
+        if not href:
+            continue
+        rel = d.get("rel", "alternate").lower()
+        if rel == "alternate":
+            return href
+        if fallback is None:
+            fallback = href
+    return fallback
 
 
 def _parse_one(xml: str) -> tuple[str | None, list[dict]]:
@@ -62,15 +107,16 @@ def _parse_one(xml: str) -> tuple[str | None, list[dict]]:
         return None, []
     head = re.split(_ITEM_RE, xml)[0]
     m = re.search(_TITLE_RE, head)
-    feed_title = m.group(1) if m else None
+    feed_title = _clean_text(m.group(1)) if m else None
     items = []
     for chunk in re.findall(_ITEM_RE, xml):
-        lm = re.search(_RSS_LINK_RE, chunk) or re.search(_ATOM_LINK_RE, chunk)
+        lm = re.search(_RSS_LINK_RE, chunk)
+        link = _clean_text(lm.group(1)) if lm else _atom_link(chunk)
         tm = re.search(_TITLE_RE, chunk)
         items.append(
             {
-                "title": tm.group(1) if tm else None,
-                "link": lm.group(1) if lm else None,
+                "title": _clean_text(tm.group(1)) if tm else None,
+                "link": link,
             }
         )
     return feed_title, items

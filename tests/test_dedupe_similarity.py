@@ -86,6 +86,32 @@ def test_simhash_exact_dup_is_zero_hamming(spark):
         assert pairs.get((i, j)) == 0, (i, j)
 
 
+def test_simhash_banding_has_zero_false_negatives(spark):
+    """Pigeonhole: default bands (= max_hamming + 1) must yield EXACTLY the
+    pairs an exhaustive hamming scan finds — banding is a pure speedup."""
+    from scrape_spark.operators.dedupe import simhash
+
+    df, _, _ = _mk_docs(spark, n=40)
+    max_h = 6
+    sh = df.select(F.col("doc_id").alias("d"), simhash("text").alias("sh")).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = {
+        (r.i, r.j)
+        for r in a.join(b, F.col("a.d") < F.col("b.d"))
+        .select(
+            F.col("a.d").alias("i"), F.col("b.d").alias("j"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hm"),
+        )
+        .filter(F.col("hm") <= max_h)
+        .collect()
+    }
+    banded = {
+        (r.i, r.j)
+        for r in simhash_neardup_pairs(df, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    assert banded == exact
+
+
 def test_cosine_matches_numpy(spark):
     rng = np.random.RandomState(0)
     a, b = rng.standard_normal(16), rng.standard_normal(16)

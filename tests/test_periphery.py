@@ -49,6 +49,47 @@ def test_feed_parse_and_fanout(spark):
     assert set(reqs.columns) == {"feed_url", "url"}
 
 
+# Hardened-parser vectors: CDATA titles, entity escapes, atom rel
+# preference and rel-less links (gofeed handles these via its XML parser —
+# fetch/feed/feed.go:95-117; RFC 4287 §4.2.7.2: missing rel ≙ alternate).
+CDATA_RSS = """<?xml version="1.0"?><rss><channel>
+<title><![CDATA[Feed & Friends]]></title>
+<item><title><![CDATA[C1 <em>big</em>]]></title><link>https://ex.test/c1</link></item>
+<item><title>Fish &amp; Chips &#38; Tea</title><link>https://ex.test/c2</link></item>
+</channel></rss>"""
+
+ATOM_RELS = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Rel Feed</title>
+<entry><title>D1</title>
+  <link rel="self" href="https://ex.test/self1"/>
+  <link rel="alternate" href="https://ex.test/d1"/>
+</entry>
+<entry><title>D2</title>
+  <link rel="enclosure" href="https://ex.test/d2.mp3"/>
+  <link href="https://ex.test/d2"/>
+</entry>
+<entry><title>D3</title>
+  <link rel="self" href="https://ex.test/self3"/>
+</entry>
+</feed>"""
+
+
+def test_feed_cdata_titles_and_entities(spark):
+    df = spark.createDataFrame([("u", CDATA_RSS)], ["feed_url", "xml"])
+    row = parse_feeds(df).collect()[0]
+    assert row.feed_title == "Feed & Friends"
+    assert [i.title for i in row.items] == ["C1 <em>big</em>", "Fish & Chips & Tea"]
+    assert [i.link for i in row.items] == ["https://ex.test/c1", "https://ex.test/c2"]
+
+
+def test_feed_atom_rel_preference(spark):
+    df = spark.createDataFrame([("u", ATOM_RELS)], ["feed_url", "xml"])
+    row = parse_feeds(df).collect()[0]
+    links = [i.link for i in row.items]
+    # alternate beats self; rel-less IS alternate; lone self is the fallback
+    assert links == ["https://ex.test/d1", "https://ex.test/d2", "https://ex.test/self3"]
+
+
 def test_media_features(spark):
     media = synth_media(spark, 30).cache()
     feats = extract_media_features(media)
