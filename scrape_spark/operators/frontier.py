@@ -303,13 +303,36 @@ class Crawl:
             "epoch", F.lit(epoch)
         ).write.mode("overwrite").parquet(os.path.join(edir, "selected.parquet"))
 
+        # Stats from as few jobs as possible: selected/deferred fall out of
+        # ONE aggregate over the ranked pipeline (was two full recomputes),
+        # robots_denied is one agg over the frontier read, and errors /
+        # next_frontier are read back from artifacts this epoch already
+        # wrote (parquet row-count reads, no recompute).
+        sel_def = ranked.agg(
+            F.coalesce(
+                F.sum((F.col("rank") <= F.col("budget")).cast("long")), F.lit(0)
+            ).alias("sel"),
+            F.coalesce(
+                F.sum((F.col("rank") > F.col("budget")).cast("long")), F.lit(0)
+            ).alias("defer"),
+        ).collect()[0]
+        n_denied = fr.agg(
+            F.coalesce(F.sum(F.col("__denied").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        n_errors = (
+            self.spark.read.parquet(os.path.join(edir, "metrics.parquet"))
+            .agg(F.coalesce(F.sum("errors"), F.lit(0)))
+            .collect()[0][0]
+        )
         stats = {
             "epoch": epoch,
-            "selected": selected.count(),
-            "errors": errors.count(),
-            "robots_denied": robots_denied.count(),
-            "deferred": deferred.count(),
-            "next_frontier": next_frontier.count(),
+            "selected": sel_def.sel,
+            "errors": n_errors,
+            "robots_denied": n_denied,
+            "deferred": sel_def["defer"],
+            "next_frontier": self.spark.read.parquet(
+                os.path.join(nxt, "frontier.parquet")
+            ).count(),
             "store_snapshot": self.store.urls.current_snapshot(),
             "idmap_snapshot": self.store.id_map.current_snapshot(),
         }
