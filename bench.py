@@ -73,10 +73,14 @@ def main() -> None:
     batch_extract(spark, pages.select("url").limit(2000), pages, store=None).count()
 
     # headline: full memoization-less fetch+extract over the whole corpus
-    t0 = time.time()
-    out = batch_extract(spark, pages.select("url"), pages, store=None)
-    n_out = out.count()
-    headline = time.time() - t0
+    # (min of 2 — same warm-in policy as the operator queries below)
+    headline = None
+    for _ in range(2):
+        t0 = time.time()
+        out = batch_extract(spark, pages.select("url"), pages, store=None)
+        n_out = out.count()
+        dt = time.time() - t0
+        headline = dt if headline is None else min(headline, dt)
     timings["batch_pipeline_sf"] = round(headline, 3)
 
     # memoized path: warm a store with ~half the corpus, then run the FULL
@@ -102,12 +106,19 @@ def main() -> None:
     finally:
         shutil.rmtree(store_root, ignore_errors=True)
 
+    # min of 2 runs per query: the first run pays JVM/codegen warm-in (the
+    # sandbox converges over several iterations — measured 19s -> 6s on the
+    # ssjoin); the min is the steady-state number a long-running cluster sees
     qs = E.queries()
     for name in BENCH_QUERIES[1:]:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -121,6 +132,7 @@ def main() -> None:
                 "n_results": n_out,
                 "throughput_pages_per_sec": round(n_pages / headline, 1),
                 "cpus": int(cpus),
+                "iterations_per_query": 2,
             }
         )
     )
