@@ -252,17 +252,25 @@ class UrlStore:
         delta = new_rows.withColumn("__prec", F.lit(1))
         merged = existing.unionByName(delta)
         # last-write-wins by key; ties broken toward the incoming delta —
-        # REPLACE semantics (storage.go:29-30).
-        order = [F.col("__prec").desc()]
+        # REPLACE semantics (storage.go:29-30). max_by over a lexicographic
+        # (order_col, __prec) struct instead of a row_number window: a hash
+        # aggregate with map-side partial combine, no per-key sort — the
+        # shape that survives hot-key skew at 100 TB. Struct comparison puts
+        # NULL order_col lowest, matching desc_nulls_last. Deterministic:
+        # each side carries at most one row per key, and __prec splits them.
+        cols = [c for c in merged.columns if c != "__prec"]
+        ord_fields = [F.col("__prec")]
         if order_col:
-            order = [F.col(order_col).desc_nulls_last(), F.col("__prec").desc()]
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(key_col).orderBy(*order)
+            ord_fields = [F.col(order_col), F.col("__prec")]
         winner = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__prec")
+            merged.groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols if c != key_col]),
+                    F.struct(*ord_fields),
+                ).alias("__row")
+            )
+            .select(key_col, "__row.*")
         )
         snap = table.replace_buckets(winner, touched, meta=meta)
         new_rows.unpersist()
