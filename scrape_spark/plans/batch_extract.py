@@ -35,7 +35,11 @@ from scrape_spark.functions.textfns import (
 from scrape_spark.functions.urlkeys import clean_url, hostname_col, url_key
 from scrape_spark.operators.extract import extract_pages
 from scrape_spark.operators.store import UrlStore
-from scrape_spark.schemas import FETCH_METHOD_DIRECT, RESULT_SCHEMA
+from scrape_spark.schemas import (
+    FETCH_METHOD_DIRECT,
+    FETCH_METHOD_HEADLESS,
+    RESULT_SCHEMA,
+)
 
 _VALID_URL = r"^https?://[^/?#]+"
 
@@ -172,7 +176,14 @@ def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
         .withColumn("key", F.when(error.isNull(), url_key(canonical)).otherwise(F.col("key")))
         .withColumn("hostname", hostname_col(F.col("url")))
         .withColumn("fetch_time", stamp_fetch_time())
-        .withColumn("fetch_method", F.lit(FETCH_METHOD_DIRECT))
+        .withColumn(
+            "fetch_method",
+            (
+                F.coalesce(F.col("__fetch_method"), F.lit(FETCH_METHOD_DIRECT))
+                if "__fetch_method" in extracted.columns
+                else F.lit(FETCH_METHOD_DIRECT)
+            ),
+        )
         .withColumn("expires", expires_at("fetch_time", ttl_seconds))
         .withColumn("authors", author_split("author"))
     )
@@ -200,11 +211,39 @@ def batch_extract(
     pages: DataFrame,
     store: UrlStore | None = None,
     save: bool = True,
+    settings=None,
+    fetch_method: int = FETCH_METHOD_DIRECT,
 ) -> DataFrame:
     """Full batch pipeline. With a store: memoized (hits skip the fetch stage
     and keep their stored fetch_time — parity with internal/scrape_test.go's
-    cache-hit stability assertion); without: straight fetch+extract."""
+    cache-hit stability assertion); without: straight fetch+extract.
+
+    Fetch-client routing (S3): ``fetch_method`` is the batch-level client —
+    FETCH_METHOD_HEADLESS reproduces the reference's /extract/headless
+    surface (internal/server/routes.go:41-42), which forces the headless
+    client for the whole batch. A ``settings`` DomainSettingsStore overrides
+    per host: a domain whose fetch_client is 'chromium-headless' routes its
+    requests through the headless client (internal/scrape.go:54-58,
+    settings/domain.go:43-49). In this engine both clients resolve to the
+    same corpus equi-join (there is no browser in the sandbox) — the routing
+    decision, the broadcast settings join, and the fetch_method provenance
+    on every result row are the real, tested surface."""
     req = prepare_requests(requests)
+    req = req.withColumn("__fetch_method", F.lit(fetch_method))
+    if settings is not None:
+        req = (
+            settings.join_fetch_config(
+                req.withColumn("__host", hostname_col(F.col("parsed_url"))), "__host"
+            )
+            .withColumn(
+                "__fetch_method",
+                F.when(
+                    F.col("fetch_client") == "chromium-headless",
+                    F.lit(FETCH_METHOD_HEADLESS),
+                ).otherwise(F.col("__fetch_method")),
+            )
+            .drop("__host", "sitename", "fetch_client", "user_agent", "headers")
+        )
     # In-flight dedupe by requested key — strictly stronger than the
     # reference's REPLACE-race (SURVEY §2.8), same observable store state.
     # Invalid URLs have key = NULL; dropDuplicates treats NULLs as equal, so
@@ -263,7 +302,7 @@ def batch_extract(
     )
 
     misses = joined.filter(F.col("s_key").isNull()).select(
-        "original_url", "parsed_url", "key", "request_error"
+        "original_url", "parsed_url", "key", "request_error", "__fetch_method"
     )
     fetched = fetch_and_extract(misses, pages, store.ttl_seconds)
 

@@ -134,6 +134,41 @@ def test_cache_split_is_bucket_pruned(spark, pages, tmp_path):
     assert None not in seen_buckets  # no unpruned full read anywhere
 
 
+def test_fetch_client_routing(spark, pages, tmp_path):
+    """S3: batch-level headless (the /extract/headless surface) and
+    per-domain settings override (fetch_client='chromium-headless') both
+    stamp fetch_method on the results; everything else stays direct."""
+    from scrape_spark.operators.settings import DomainSettingsStore
+    from scrape_spark.schemas import FETCH_METHOD_DIRECT, FETCH_METHOD_HEADLESS
+
+    # whole batch forced headless
+    out = batch_extract(
+        spark, _req_df(spark, [page_url(0, 1)]), pages, store=None,
+        fetch_method=FETCH_METHOD_HEADLESS,
+    ).collect()
+    assert out[0].fetch_method == FETCH_METHOD_HEADLESS
+
+    # per-domain override: host 1 configured headless, host 0 not
+    settings = DomainSettingsStore(spark, str(tmp_path / "ds"))
+    from scrape_spark.schemas import DOMAIN_SETTINGS_SCHEMA
+
+    settings.upsert(
+        spark.createDataFrame(
+            [("h00001.ex1.test", None, "chromium-headless", None, None)],
+            schema=DOMAIN_SETTINGS_SCHEMA,
+        )
+    )
+    rows = {
+        r.original_url: r
+        for r in batch_extract(
+            spark, _req_df(spark, [page_url(0, 1), page_url(1, 2)]), pages,
+            store=None, settings=settings,
+        ).collect()
+    }
+    assert rows[page_url(1, 2)].fetch_method == FETCH_METHOD_HEADLESS
+    assert rows[page_url(0, 1)].fetch_method == FETCH_METHOD_DIRECT
+
+
 def test_unordered_union_has_all_columns(spark, pages, tmp_path):
     from scrape_spark.schemas import RESULT_SCHEMA
 
