@@ -97,6 +97,25 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
     joined = misses.join(
         corpus, misses["parsed_url"] == corpus["__page_url"], "left"
     )
+    # The hop machinery multiplies plan branches (each union arm re-scans the
+    # fetch join), so pay for it ONLY when the corpus actually contains
+    # redirect rows — one column-pruned scan, memoized per pages DataFrame.
+    # A redirect-free corpus (the common crawl epoch) keeps the single-join
+    # plan of the hot path.
+    has_redirects = getattr(pages, "_scrape_has_redirects", None)
+    if has_redirects is None:
+        has_redirects = (
+            "redirect_to" in cols
+            and pages.filter(F.col("redirect_to").isNotNull()).limit(1).count() > 0
+        )
+        try:
+            pages._scrape_has_redirects = has_redirects
+        except AttributeError:  # pragma: no cover
+            pass
+    if not has_redirects:
+        return extract_pages(
+            joined.withColumn("__plain_text", _plain_text_col()), html_col="html"
+        )
     # never-null predicate: False when redirect_to is null (False AND NULL ≡
     # False), defined when it isn't (coalesce guards a null status)
     is_redirect = F.col("__redirect_to").isNotNull() & F.coalesce(
@@ -128,13 +147,17 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
         ),
     )
     done = done.unionByName(exhausted)
-    # text/plain bodies ARE the content (no markup to extract) — capture
-    # before extract_pages drops the raw bytes
-    done = done.withColumn(
-        "__plain_text",
-        F.when(mime_type(F.col("__ctype")) == "text/plain", F.decode(F.col("html"), "UTF-8")),
+    return extract_pages(
+        done.withColumn("__plain_text", _plain_text_col()), html_col="html"
     )
-    return extract_pages(done, html_col="html")
+
+
+def _plain_text_col():
+    """text/plain bodies ARE the content (no markup to extract) — captured
+    before extract_pages drops the raw bytes."""
+    return F.when(
+        mime_type(F.col("__ctype")) == "text/plain", F.decode(F.col("html"), "UTF-8")
+    )
 
 
 _EXTRACTED_FIELDS = (
