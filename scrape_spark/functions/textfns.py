@@ -52,8 +52,9 @@ ALLOWED_CONTENT_TYPES = ("text/html", "application/xhtml+xml", "text/plain")
 
 def mime_type(content_type: str | Column) -> Column:
     """Media type of a Content-Type header value: lowercased token before ';'
-    (reference uses mime.ParseMediaType, fetcher.go:73)."""
-    return F.lower(F.trim(F.regexp_extract(_c(content_type), r"^([^;]+)", 1)))
+    (reference uses mime.ParseMediaType, fetcher.go:73). substring_index
+    instead of a regex — this runs per row on the fetch hot path."""
+    return F.lower(F.trim(F.substring_index(_c(content_type), ";", 1)))
 
 
 def content_type_error(content_type: str | Column) -> Column:

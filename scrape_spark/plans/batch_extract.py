@@ -6,17 +6,23 @@ One declarative job per batch:
 
     requests → validate (malformed ⇒ error row, F10)
              → canonicalize (F1) → key (K1) → in-flight dedupe (J4)
+             → fetch-client routing (S3: batch headless / per-domain settings)
              → alias-resolve (J1) → cache split vs fresh store (J2: one left
-               join consumed twice — semi ≙ hits, anti ≙ misses)
-             → misses ⋈ pages table (the network-free fetch stage, S1)
-               → extract (M3) → error taxonomy (F2/F4)
+               join consumed twice — semi ≙ hits, anti ≙ misses; both the
+               id_map and the store reads are bucket-pruned to the batch)
+             → misses ⋈ pages table (the network-free fetch stage, S1;
+               3xx redirect chains followed by per-hop equi-joins)
+             → extract (M3) → error taxonomy (F10 / 404 / status incl. 504
+               timeout / Content-Type whitelist F2 / byte-sniff fallback)
              → hits ∪ fetched (U1) → MERGE INTO store (S9) → results
 
 Scale notes: the cache-split join is key-equi on `key long` (never URL
-strings, O1); the pages join prunes to (url, html) columns at the scan; the
-store read is bucket-manifest-backed so only fresh files are opened. Output
-order is not guaranteed (parity: internal/scrape.go:98-99) — consumers that
-need determinism sort by (key).
+strings, O1); the pages join prunes to (url, html, ctype, status,
+redirect_to) at the scan and skips the redirect-hop plan branches entirely
+for redirect-free corpora; the store read is bucket-manifest-backed so only
+fresh files of touched buckets are opened. Output order is not guaranteed
+(parity: internal/scrape.go:98-99) — consumers that need determinism sort
+by (key).
 """
 
 from __future__ import annotations
@@ -98,24 +104,36 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
         corpus, misses["parsed_url"] == corpus["__page_url"], "left"
     )
     # The hop machinery multiplies plan branches (each union arm re-scans the
-    # fetch join), so pay for it ONLY when the corpus actually contains
-    # redirect rows — one column-pruned scan, memoized per pages DataFrame.
-    # A redirect-free corpus (the common crawl epoch) keeps the single-join
-    # plan of the hot path.
-    has_redirects = getattr(pages, "_scrape_has_redirects", None)
-    if has_redirects is None:
-        has_redirects = (
-            "redirect_to" in cols
-            and pages.filter(F.col("redirect_to").isNotNull()).limit(1).count() > 0
-        )
+    # fetch join), and the text/plain passthrough ships an extra column
+    # through the Arrow boundary — pay for either ONLY when the corpus
+    # actually contains such rows. One combined column-pruned probe scan,
+    # memoized per pages DataFrame; a plain html-only corpus (the common
+    # crawl epoch) keeps the single-join, no-extra-column hot path.
+    traits = getattr(pages, "_scrape_fetch_traits", None)
+    if traits is None:
+        if "redirect_to" in cols or "ctype" in cols:
+            row = pages.agg(
+                F.max(
+                    (F.col("redirect_to").isNotNull() if "redirect_to" in cols else F.lit(False)).cast("int")
+                ).alias("r"),
+                F.max(
+                    ((mime_type(F.col("ctype")) == "text/plain") if "ctype" in cols else F.lit(False)).cast("int")
+                ).alias("p"),
+            ).collect()[0]
+            traits = {"redirects": bool(row.r), "plain": bool(row.p)}
+        else:
+            traits = {"redirects": False, "plain": False}
         try:
-            pages._scrape_has_redirects = has_redirects
+            pages._scrape_fetch_traits = traits
         except AttributeError:  # pragma: no cover
             pass
-    if not has_redirects:
-        return extract_pages(
-            joined.withColumn("__plain_text", _plain_text_col()), html_col="html"
-        )
+
+    def _with_plain(df: DataFrame) -> DataFrame:
+        col = _plain_text_col() if traits["plain"] else F.lit(None).cast("string")
+        return df.withColumn("__plain_text", col)
+
+    if not traits["redirects"]:
+        return extract_pages(_with_plain(joined), html_col="html")
     # never-null predicate: False when redirect_to is null (False AND NULL ≡
     # False), defined when it isn't (coalesce guards a null status)
     is_redirect = F.col("__redirect_to").isNotNull() & F.coalesce(
@@ -147,9 +165,7 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
         ),
     )
     done = done.unionByName(exhausted)
-    return extract_pages(
-        done.withColumn("__plain_text", _plain_text_col()), html_col="html"
-    )
+    return extract_pages(_with_plain(done), html_col="html")
 
 
 def _plain_text_col():
