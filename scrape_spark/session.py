@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge: the engine's big joins stream
+        # a 2 KB-html corpus side against a bounded request/key build side —
+        # skipping the sort of the heavy side measured +10% end-to-end at 16
+        # cores on the 1.3M-page corpus. AQE skew-join still applies.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
