@@ -74,7 +74,53 @@ def _as_result(df: DataFrame) -> DataFrame:
     return df.select(*[F.col(c) for c in RESULT_COLS])
 
 
-def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) -> DataFrame:
+_CORPUS_COLS = ("__page_url", "html", "__ctype", "__status", "__redirect_to")
+
+
+def _probe_corpus(requests: DataFrame, corpus: DataFrame, url_col: str) -> DataFrame:
+    """requests LEFT JOIN corpus — built so the html NEVER shuffles.
+
+    A plain left-outer join hash-shuffles BOTH sides, moving the whole
+    corpus (2 KB html/row; 100 TB at production scale) across the wire just
+    to attach a bounded request batch. Spark cannot broadcast the preserved
+    side of an outer join, so the outer join is decomposed:
+
+      found    = corpus ⋈ broadcast(requests)   (inner BHJ, corpus streamed
+                                                 in place, zero corpus shuffle)
+      notfound = requests ⟕̸ corpus.url           (left-anti against the url
+                                                 column only — a shuffle of
+                                                 one short string column,
+                                                 planner's choice of strategy)
+      result   = found ∪ notfound(null page columns)
+
+    The request side is bounded by construction — a CLI/API batch, or one
+    politeness-capped crawl epoch (hosts × per-epoch budget) — which is what
+    makes broadcasting it the right plan once the corpus shuffle crosses a
+    NETWORK. Measured single-box (local[16], 1.3M pages) the plain left
+    join is ~15% faster (119k vs 104k pages/s): the "shuffle" there is
+    page-cache-local while the 1.3M-entry broadcast map thrashes CPU cache —
+    so this shape is opt-in (`fetch_join(broadcast_probe=True)`) and the
+    redirect-hop probes (tiny request subsets) use it unconditionally."""
+    probe = F.broadcast(requests)
+    found = corpus.join(probe, requests[url_col] == corpus["__page_url"], "inner")
+    notfound = requests.join(
+        corpus.select("__page_url"),
+        requests[url_col] == F.col("__page_url"),
+        "left_anti",
+    )
+    for c in _CORPUS_COLS:
+        notfound = notfound.withColumn(
+            c, F.lit(None).cast(dict(zip(_CORPUS_COLS, ("string", "binary", "string", "int", "string")))[c])
+        )
+    return found.unionByName(notfound.select(*found.columns))
+
+
+def fetch_join(
+    misses: DataFrame,
+    pages: DataFrame,
+    max_redirect_hops: int = 4,
+    broadcast_probe: bool = False,
+) -> DataFrame:
     """The 'network' stage: equi-join against the pages corpus (absent ⇒
     404 later), then one vectorized extraction pass. Keeps the extract's
     raw columns (incl. `links`) so callers can derive both result rows and
@@ -100,9 +146,12 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
             "__redirect_to"
         ),
     )
-    joined = misses.join(
-        corpus, misses["parsed_url"] == corpus["__page_url"], "left"
-    )
+    if broadcast_probe:
+        joined = _probe_corpus(misses, corpus, "parsed_url")
+    else:
+        joined = misses.join(
+            corpus, misses["parsed_url"] == corpus["__page_url"], "left"
+        )
     # The hop machinery multiplies plan branches (each union arm re-scans the
     # fetch join), and the text/plain passthrough ships an extra column
     # through the Arrow boundary — pay for either ONLY when the corpus
@@ -147,9 +196,7 @@ def fetch_join(misses: DataFrame, pages: DataFrame, max_redirect_hops: int = 4) 
         # requested columns ride along unchanged (parsed_url stays the
         # requested URL — the reference echoes RequestedURL on redirects)
         hop = pending.select(*req_cols, F.col("__redirect_to").alias("__target"))
-        hopped = hop.join(
-            corpus, hop["__target"] == corpus["__page_url"], "left"
-        ).drop("__target")
+        hopped = _probe_corpus(hop, corpus, "__target").drop("__target")
         still = F.col("__redirect_to").isNotNull() & F.coalesce(
             F.col("__status").between(300, 399), F.lit(True)
         )

@@ -134,6 +134,23 @@ def test_cache_split_is_bucket_pruned(spark, pages, tmp_path):
     assert None not in seen_buckets  # no unpruned full read anywhere
 
 
+def test_broadcast_probe_join_is_equivalent(spark, pages):
+    """The no-corpus-shuffle probe decomposition (inner BHJ + left-anti)
+    must return exactly what the plain left join returns, misses included."""
+    from scrape_spark.plans.batch_extract import fetch_join, prepare_requests
+
+    req = prepare_requests(
+        _req_df(spark, [page_url(0, 1), page_url(1, 2), "https://missing.test/x"])
+    ).withColumn("__fetch_method", F.lit(1))
+    shape = lambda df: {  # noqa: E731
+        (r["original_url"], r["__page_url"], r["title"]) for r in
+        df.select("original_url", "__page_url", "title").collect()
+    }
+    assert shape(fetch_join(req, pages, broadcast_probe=True)) == shape(
+        fetch_join(req, pages, broadcast_probe=False)
+    )
+
+
 def test_fetch_client_routing(spark, pages, tmp_path):
     """S3: batch-level headless (the /extract/headless surface) and
     per-domain settings override (fetch_client='chromium-headless') both
