@@ -68,9 +68,11 @@ def main():
 
     qs, sqls = E.queries(), E.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
@@ -111,7 +113,7 @@ def main():
         else:
             print(f"ok   {name}: {len(spdf)} rows, hash match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     sys.exit(1 if failures else 0)
 
 

@@ -28,6 +28,23 @@ def burn(_):
     return n
 
 
+def burn_mem(_):
+    """DRAM-bandwidth burn: 64 MB copies bust every cache level, so the
+    aggregate rate across processes IS the host's usable memory bandwidth.
+    The extraction pipeline is partially bandwidth-bound, so its achievable
+    N→4N efficiency lies between this probe's and the CPU probe's."""
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024 // 8)
+    b = np.ones_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 4:
+        np.copyto(a, b)
+        n += 1
+    return n * 64  # MB copied
+
+
 def main():
     out = {}
     for procs in (1, 4, 8, 16, 32):
@@ -35,11 +52,19 @@ def main():
             tot = sum(p.map(burn, range(procs)))
         out[procs] = tot
     base = out[1]
+    mem = {}
+    for procs in (1, 4, 16):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            tot = sum(p.map(burn_mem, range(procs)))
+        mem[procs] = round(tot / (time.time() - t0), 0)
     report = {
         "metric": "host_cpu_scaling_ceiling",
         "speedup": {str(k): round(v / base, 2) for k, v in out.items()},
         "efficiency_4_to_16": round((out[16] / out[4]) / 4, 3),
         "efficiency_8_to_32": round((out[32] / out[8]) / 4, 3),
+        "memcpy_MBps": {str(k): v for k, v in mem.items()},
+        "mem_bandwidth_efficiency_4_to_16": round(mem[16] / mem[4] / 4, 3),
     }
     print(json.dumps(report))
 
