@@ -1,0 +1,131 @@
+"""CLI surface — the engine's equivalent of the reference's two command-line
+tools (cmd/scrape/main.go, cmd/scrape-feed/main.go), so a user of the
+reference can run the same invocations against this engine:
+
+    python -m scrape_spark.cli extract --pages corpus.parquet \
+        [--notext] [--headless] [--store DIR] [--csv file.csv --csv-column 1] \
+        [url ...]                        # JSON array of results on stdout
+
+    python -m scrape_spark.cli feed --pages corpus.parquet feed_url ...
+                                         # item links, one per line
+
+    python -m scrape_spark.cli maintain --store DIR   # expire + compact
+
+Flag names follow the reference: -notext (cmd/scrape/main.go:36), -csv /
+-csv-column (:39-40), -headless (:41), -maintain (:43). The one structural
+difference: there is no live network here, so the "internet" is the pages
+corpus parquet given by --pages (the same network-free fetch model the
+whole engine uses, SURVEY.md §2.1 S1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cores: str = "*"):
+    from scrape_spark.session import get_spark
+
+    return get_spark("scrape-cli", master=f"local[{cores}]")
+
+
+def _request_df(spark, args) -> "DataFrame":  # noqa: F821
+    from pyspark.sql import functions as F
+
+    urls = list(args.urls)
+    if args.csv:
+        # reference: first column by default, -csv-column is 1-based
+        # (cmd/scrape/main.go:103-116)
+        df = spark.read.csv(args.csv, header=False)
+        col = df.columns[max(0, args.csv_column - 1)]
+        csv_urls = df.select(F.col(col).alias("url"))
+        base = spark.createDataFrame([(u,) for u in urls], ["url"]) if urls else None
+        return csv_urls if base is None else base.unionByName(csv_urls)
+    if not urls:
+        print("no URLs given (pass urls or --csv)", file=sys.stderr)
+        sys.exit(2)
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+def cmd_extract(args) -> int:
+    from scrape_spark.operators.json_sink import json_array_string
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.plans.batch_extract import batch_extract
+    from scrape_spark.schemas import FETCH_METHOD_DIRECT, FETCH_METHOD_HEADLESS
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(args.pages)
+    store = UrlStore(spark, args.store) if args.store else None
+    out = batch_extract(
+        spark,
+        _request_df(spark, args),
+        pages,
+        store=store,
+        fetch_method=FETCH_METHOD_HEADLESS if args.headless else FETCH_METHOD_DIRECT,
+    )
+    print(json_array_string(out, drop_text=args.notext))
+    return 0
+
+
+def cmd_feed(args) -> int:
+    from pyspark.sql import functions as F
+
+    from scrape_spark.sources.feed import feed_to_requests, parse_feeds
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(args.pages)
+    req = spark.createDataFrame([(u,) for u in args.urls], ["feed_url"])
+    feeds_xml = req.join(
+        pages.select(F.col("url").alias("feed_url"), F.decode("html", "UTF-8").alias("xml")),
+        "feed_url",
+        "left",
+    )
+    links = feed_to_requests(parse_feeds(feeds_xml))
+    for r in links.collect():
+        print(r.url)
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    from scrape_spark.operators.store import UrlStore
+
+    spark = _spark(args.cores)
+    snap = UrlStore(spark, args.store).maintain()
+    print(f"maintained store at {args.store}, snapshot {snap}", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scrape_spark")
+    p.add_argument("--cores", default="*", help="local[N] parallelism")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser("extract", help="batch fetch+extract → JSON array")
+    ex.add_argument("--pages", required=True, help="pages corpus parquet")
+    ex.add_argument("--store", default=None, help="memoization store dir")
+    ex.add_argument("--notext", action="store_true", help="omit content_text")
+    ex.add_argument("--headless", action="store_true", help="headless client")
+    ex.add_argument("--csv", default=None, help="CSV file of URLs")
+    ex.add_argument("--csv-column", type=int, default=1, help="1-based URL column")
+    ex.add_argument("urls", nargs="*")
+    ex.set_defaults(fn=cmd_extract)
+
+    fe = sub.add_parser("feed", help="parse RSS/Atom feeds → item links")
+    fe.add_argument("--pages", required=True)
+    fe.add_argument("urls", nargs="+")
+    fe.set_defaults(fn=cmd_feed)
+
+    ma = sub.add_parser("maintain", help="expire + compact a store")
+    ma.add_argument("--store", required=True)
+    ma.set_defaults(fn=cmd_maintain)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

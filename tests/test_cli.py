@@ -1,0 +1,83 @@
+"""CLI parity tests — invoke scrape_spark.cli main() in-process (shares the
+session fixture's JVM) and check the reference-shaped outputs:
+JSON array on stdout (cmd/scrape/main.go:119-139), -notext, -csv with
+1-based column, feed → item links (cmd/scrape-feed/main.go:22-52)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scrape_spark.cli import main
+from scrape_spark.sources.pages import page_url, synth_pages
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "pages")
+    synth_pages(spark, n_hosts=3, per_host=20).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_extract_json_array(spark, corpus_path, capsys):
+    rc = main(["extract", "--pages", corpus_path, page_url(0, 1), "not a url"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert isinstance(rows, list) and len(rows) == 2
+    by_url = {r["original_url"]: r for r in rows}
+    assert by_url[page_url(0, 1)]["content_text"]
+    assert by_url["not a url"]["error"].startswith("invalid url")
+    # omit-empty parity: no null-valued keys in the JSON
+    assert all(v is not None for r in rows for v in r.values())
+
+
+def test_extract_notext_and_headless(spark, corpus_path, capsys):
+    rc = main(["extract", "--pages", corpus_path, "--notext", "--headless", page_url(1, 2)])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert "content_text" not in rows[0]
+    assert rows[0]["fetch_method"] == 2  # chromium-headless
+
+
+def test_extract_csv_column(spark, corpus_path, capsys, tmp_path):
+    csv = tmp_path / "urls.csv"
+    csv.write_text(f"ignored,{page_url(0, 2)}\nignored,{page_url(1, 3)}\n")
+    rc = main(["extract", "--pages", corpus_path, "--csv", str(csv), "--csv-column", "2"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert {r["original_url"] for r in rows} == {page_url(0, 2), page_url(1, 3)}
+
+
+def test_extract_with_store_memoizes(spark, corpus_path, capsys, tmp_path):
+    store = str(tmp_path / "s")
+    for _ in range(2):
+        rc = main(["extract", "--pages", corpus_path, "--store", store, page_url(0, 4)])
+        assert rc == 0
+        out1 = json.loads(capsys.readouterr().out)
+    assert out1[0]["url"] == page_url(0, 4)
+    rc = main(["maintain", "--store", store])
+    assert rc == 0
+
+
+def test_feed_links(spark, corpus_path, capsys, tmp_path):
+    # plant a feed page whose items point at corpus URLs
+    import pandas as pd
+
+    from scrape_spark.schemas import PAGES_FETCH_SCHEMA
+
+    feed_url = "https://feeds.test/rss"
+    xml = (
+        "<rss><channel><title>F</title>"
+        f"<item><title>a</title><link>{page_url(0, 1)}</link></item>"
+        f"<item><title>b</title><link>{page_url(0, 2)}</link></item>"
+        "</channel></rss>"
+    )
+    fp = str(tmp_path / "feedpages")
+    spark.createDataFrame(
+        [(feed_url, None, xml.encode(), None, None, "application/rss+xml", 200, None)],
+        schema=PAGES_FETCH_SCHEMA,
+    ).write.mode("overwrite").parquet(fp)
+    rc = main(["feed", "--pages", fp, feed_url])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == [page_url(0, 1), page_url(0, 2)]
