@@ -74,6 +74,29 @@ ATOM_RELS = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
 </feed>"""
 
 
+def test_feed_to_batch_extract_end_to_end(spark):
+    """The reference's /feed endpoint: parse the feed, then batch-extract
+    every item link (api/server.go:330-333) — run the same composition
+    through the engine."""
+    from scrape_spark.plans.batch_extract import batch_extract
+    from scrape_spark.sources.pages import page_url, synth_pages
+
+    pages = synth_pages(spark, n_hosts=2, per_host=10)
+    xml = (
+        "<rss><channel><title>F</title>"
+        f"<item><title>a</title><link>{page_url(0, 1)}</link></item>"
+        f"<item><title>b</title><link>{page_url(1, 2)}?utm_source=feed</link></item>"
+        "</channel></rss>"
+    )
+    feeds = parse_feeds(spark.createDataFrame([("https://f.test/rss", xml)], ["feed_url", "xml"]))
+    out = batch_extract(spark, feed_to_requests(feeds), pages, store=None).collect()
+    assert len(out) == 2
+    by_url = {r.parsed_url: r for r in out}
+    assert by_url[page_url(0, 1)].error is None and by_url[page_url(0, 1)].content_text
+    # utm params stripped during canonicalization, like any batch request
+    assert by_url[page_url(1, 2)].original_url.endswith("?utm_source=feed")
+
+
 def test_feed_cdata_titles_and_entities(spark):
     df = spark.createDataFrame([("u", CDATA_RSS)], ["feed_url", "xml"])
     row = parse_feeds(df).collect()[0]
