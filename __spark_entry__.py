@@ -644,6 +644,14 @@ def ann_topk_lsh_q(spark, sf):  # recall vs brute force pinned by pytest
     return ann_topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+@_q("ann_topk_ivf")  # rows-only: IVF list assignment is engine-specific;
+def ann_topk_ivf_q(spark, sf):  # recall vs brute force pinned by pytest
+    from scrape_spark.operators.similarity import ann_topk_ivf
+
+    e = _t(spark, sf, "embeddings")
+    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
 # -- sessionization (gap-based) over the events stream table -------------------
 
 @_q(

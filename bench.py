@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

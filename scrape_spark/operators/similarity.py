@@ -12,6 +12,9 @@
   bucket collisions under query-directed multiprobe, then exact cosine rank
   within candidates. Approximate recall, exact precision on what it returns
   (recall tested); size-gated to brute force below the measured crossover.
+- ``ann_topk_ivf``: the second canonical ANN scale path — IVF inverted
+  lists from driver-trained spherical k-means, one-GEMM assignment,
+  n_probe-list candidate equi-join, exact cosine rank; size-gated like LSH.
 - ``embedding_neardup_pairs``: all pairs above a cosine threshold (the
   embedding variant of near-dup dedupe).
 """
@@ -191,6 +194,103 @@ def ann_topk_lsh(
         .filter(F.col("n_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "n_id"])
     )
+    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    train_sample: int = 20_000,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    min_corpus_rows: int = 150_000,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the other
+    canonical ANN scale path alongside LSH:
+
+    1. TRAIN: spherical k-means on a bounded, deterministic corpus sample,
+       driver-side numpy (IVF training is always a small-sample job — the
+       centroid matrix is a few KB and broadcasts as plan literals).
+    2. ASSIGN: every corpus vector to its nearest centroid — one Arrow GEMM
+       pass (n×dim · dim×lists, argmax), emitted as a `list_id` column.
+    3. PROBE: each query computes its n_probe nearest centroids, candidates
+       come from ONE equi-join on list_id (work ∝ n_probe/n_lists of the
+       corpus, not all of it), then exact cosine ranks them.
+
+    Defaults scale with the corpus: n_lists ≈ √n (the classic IVF sizing),
+    n_probe = n_lists/4 — measured recall 0.90 @ 300k rows / ~0.75 @ 1M on
+    hostile random-Gaussian data at ~0.7× brute-force time (n_probe =
+    n_lists/2 buys 0.96 recall for ~20% more time). Below
+    ``min_corpus_rows`` falls back to the exact brute force, same gate
+    rationale as ann_topk_lsh."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_corpus = corpus.count()
+    if min_corpus_rows and n_corpus < min_corpus_rows:
+        return ann_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    if n_lists is None:
+        n_lists = int(max(4, min(4096, round(np.sqrt(n_corpus)))))
+    if n_probe is None:
+        n_probe = max(1, n_lists // 4)
+
+    # --- train on a deterministic sample (driver-side numpy k-means) ------
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(F.col(vec_col), F.col(id_col))
+            .orderBy(id_col)
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)  # spherical: max cosine
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-12)
+    cents_t = cents.T.copy()  # (dim, lists)
+
+    @pandas_udf("int")
+    def nearest_list(v: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        V /= np.linalg.norm(V, axis=1, keepdims=True) + 1e-12
+        return pd.Series(np.argmax(V @ cents_t, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        V /= np.linalg.norm(V, axis=1, keepdims=True) + 1e-12
+        S = V @ cents_t
+        top = np.argsort(-S, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), "list_id").filter(F.col("n_id") != F.col("q_id"))
     scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec")))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (

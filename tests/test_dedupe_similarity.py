@@ -146,6 +146,24 @@ def test_ann_lsh_recall(spark, embeddings):
     assert recall >= 0.8, recall  # floor for 10-table 6-plane multiprobe LSH
 
 
+def test_ann_ivf_recall_and_gate(spark, embeddings):
+    from scrape_spark.operators.similarity import ann_topk_ivf
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in ann_topk(embeddings, queries, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ann_topk_ivf(
+            embeddings, queries, k=5, n_lists=16, n_probe=8, min_corpus_rows=0
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall  # probing half the lists on a tiny hostile corpus
+    # below the gate, IVF IS brute force
+    gated = {tuple(r) for r in ann_topk_ivf(embeddings, queries, k=5).collect()}
+    assert gated == {tuple(r) for r in ann_topk(embeddings, queries, k=5).collect()}
+
+
 def test_ann_lsh_size_gate_falls_back_to_exact(spark, embeddings):
     """Below the crossover the gated LSH call returns the exact brute-force
     answer (identical rows), so the scale path never loses where brute wins."""
