@@ -75,7 +75,7 @@ class DomainSettingsStore:
         touched = self.table.touched_buckets(new_rows)
         if not touched:
             cur = self.table.current_snapshot()
-            return cur if cur is not None else self.table._commit({}, {})
+            return cur if cur is not None else self.table.truncate({})
         existing = self.table.read(buckets=touched).withColumn("__prec", F.lit(0))
         delta = new_rows.withColumn("__prec", F.lit(1))
         w = Window.partitionBy("dkey").orderBy(F.col("__prec").desc())

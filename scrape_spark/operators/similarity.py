@@ -244,12 +244,17 @@ def ann_topk_ivf(
     if n_probe is None:
         n_probe = max(1, n_lists // 4)
 
-    # --- train on a deterministic sample (driver-side numpy k-means) ------
+    # --- train on a deterministic UNBIASED sample (driver-side k-means) ---
+    # Order by a hash of the id, not the id itself: on real corpora id order
+    # correlates with content (crawl order, per-domain id ranges), and a
+    # plain id-prefix sample would train centroids on a biased slice —
+    # collapsing recall for the rest of the corpus. xxhash64 keeps the
+    # sample deterministic while decorrelating it from id order.
     sample = np.vstack(
         [
             np.asarray(r[0], dtype=np.float64)
             for r in corpus.select(F.col(vec_col), F.col(id_col))
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(train_sample)
             .collect()
         ]
@@ -371,6 +376,12 @@ def embedding_neardup_pairs(
     pack_schema = "g int, ids array<long>, mat array<double>"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Canonical row order inside each block: the a/b join branches below
+        # are two independent evaluations of this plan, and on a real
+        # multi-executor cluster shuffle-read arrival order is
+        # nondeterministic — without a sort the diagonal blocks' positional
+        # upper-triangle mask could miss/duplicate pairs (and emit i==j).
+        pdf = pdf.sort_values("__id")
         ids = pdf["__id"].to_numpy()
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__vn"]])
         return pd.DataFrame(

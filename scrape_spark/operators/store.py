@@ -6,14 +6,33 @@ hash-bucketed Parquet table — a deliberately Iceberg-shaped design (the
 sandbox has no Iceberg jars; on a real cluster ``ManifestTable`` is replaced
 1:1 by an Iceberg table with ``bucket(key)`` partitioning and MERGE INTO):
 
-- **Buckets**: rows land in ``bucket = pmod(key, n_buckets)``. A MERGE only
-  rewrites the buckets that contain touched keys (copy-on-write), so upsert
-  cost scales with the delta's key spread, not the table size. At 100 TB you
+- **Buckets**: rows land in ``bucket = pmod(key, n_buckets)``. At 100 TB you
   raise ``n_buckets`` (2^12-2^16) so each bucket is a few GB.
+- **Merge-on-read deltas**: a MERGE appends per-bucket *delta files* to each
+  touched bucket's manifest list — commit bytes ∝ the delta, never the store
+  (keys hash uniformly, so any non-trivial batch touches every bucket; a
+  copy-on-write MERGE would rewrite approximately the whole store each
+  epoch). Last-write-wins is resolved at READ time: every manifest file
+  entry carries the commit sequence (``seq``), and a multi-generation bucket
+  read takes ``max_by(payload, (order_col, seq))`` per key. Buckets that
+  hold a single generation (freshly compacted, or never delta-merged) skip
+  resolution entirely — the scan plan is identical to a plain parquet read.
+  This is the merge-on-read shape Iceberg v2 uses.
+- **Compaction**: ``compact()`` folds a bucket's delta generations back into
+  one file set (and ``UrlStore.maintain`` combines it with physical expiry),
+  bounding read-side resolution work by the compaction cadence.
 - **Snapshots**: every commit writes an immutable manifest (bucket → file
-  list) and atomically swings a CURRENT pointer. Readers pin a snapshot →
-  crash-consistent checkpoint/resume and time travel for free (north rule).
+  entries ``{path, bytes, seq}``) and atomically swings a CURRENT pointer.
+  Readers pin a snapshot → crash-consistent checkpoint/resume and time
+  travel for free (north rule). File sizes are recorded at commit time, so
+  size-gating decisions (broadcast thresholds) are manifest-only — no
+  per-file stat calls on the read path.
 - **Pruning**: point/batch lookups read only the buckets their keys hash to.
+- **IO seam**: all manifest/filesystem metadata ops go through ``FileIO``
+  (default ``LocalFileIO``); an object-store deployment swaps in an
+  S3/HDFS implementation (atomic CURRENT swing ⇒ conditional PUT) without
+  touching the table logic. Data files themselves are written/read by Spark
+  through Hadoop's fs layer, which is already scheme-agnostic.
 
 Semantics parity with the reference:
 - REPLACE-by-key / last-write-wins (storage.go:29-30; 00001_init.sql:8,16)
@@ -48,17 +67,89 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
 
 
-class ManifestTable:
-    """Snapshot-committed bucketed Parquet table (see module docstring)."""
+class FileIO:
+    """Seam for every filesystem *metadata* operation the table layer does
+    (manifests, CURRENT pointer, file listings/sizes). Data files are
+    written/read by Spark via Hadoop's fs layer — already scheme-agnostic.
+    Swap this for an S3/HDFS implementation on a real deployment; the one
+    semantic requirement is that ``write_text_atomic`` is an atomic replace
+    (object stores: conditional PUT / put-if-absent on a versioned key)."""
 
-    def __init__(self, spark: SparkSession, root: str, schema, key_col: str, n_buckets: int):
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+
+class LocalFileIO(FileIO):
+    """POSIX implementation (the sandbox default)."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+
+class ManifestTable:
+    """Snapshot-committed bucketed Parquet table with merge-on-read deltas
+    (see module docstring).
+
+    ``order_col`` is the table's last-write-wins ordering column: read-time
+    resolution of multi-generation buckets takes, per key, the row maximal
+    by ``(order_col, seq)`` — or by ``seq`` alone when None. This matches
+    the write-time REPLACE semantics the copy-on-write merge used
+    (storage.go:29-30: newest row per key wins, commit order breaks ties).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema,
+        key_col: str,
+        n_buckets: int,
+        order_col: str | None = None,
+        io: FileIO | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.schema = schema
         self.key_col = key_col
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.order_col = order_col
+        self.io = io or LocalFileIO()
+        self.io.makedirs(os.path.join(root, "_manifests"))
+        self.io.makedirs(os.path.join(root, "data"))
 
     # -- manifest bookkeeping -------------------------------------------------
     def _manifest_path(self, snap: int) -> str:
@@ -66,41 +157,106 @@ class ManifestTable:
 
     def current_snapshot(self) -> int | None:
         cur = os.path.join(self.root, "_manifests", "CURRENT")
-        if not os.path.exists(cur):
+        if not self.io.exists(cur):
             return None
-        with open(cur) as f:
-            return int(f.read().strip())
+        return int(self.io.read_text(cur).strip())
 
     def _load_manifest(self, snap: int | None = None) -> dict:
         snap = self.current_snapshot() if snap is None else snap
         if snap is None:
             return {"snapshot": -1, "files": {}, "meta": {}}
-        with open(self._manifest_path(snap)) as f:
-            return json.load(f)
+        man = json.loads(self.io.read_text(self._manifest_path(snap)))
+        # normalize legacy entries (bare path strings) to sized+sequenced dicts
+        for b, fl in man["files"].items():
+            man["files"][b] = [
+                e if isinstance(e, dict) else {"path": e, "bytes": None, "seq": man["snapshot"]}
+                for e in fl
+            ]
+        return man
 
     def snapshots(self) -> list[int]:
         d = os.path.join(self.root, "_manifests")
         return sorted(
-            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+            int(n[1:-5])
+            for n in self.io.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
         )
 
     # -- read -----------------------------------------------------------------
-    def read(self, snapshot: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot: int | None = None,
+        buckets: list[int] | None = None,
+        resolve: bool = True,
+    ) -> DataFrame:
+        """Scan the given buckets (all when None) at a snapshot, returning the
+        RESOLVED one-row-per-key view. Single-generation buckets (the common,
+        post-compaction case) take a plain pruned parquet scan — zero
+        resolution overhead, full filter pushdown. Only when some requested
+        bucket carries multiple delta generations does the plan add the
+        per-key ``max_by`` (a hash aggregate with map-side partial combine
+        over just the pruned buckets — and on a real cluster the aggregate's
+        shuffle is what Iceberg's positional-delete readers pay too).
+        ``resolve=False`` returns the raw multi-generation union (all row
+        versions) for inspection/tests."""
         man = self._load_manifest(snapshot)
-        files: list[str] = []
-        if buckets is None:
-            for fl in man["files"].values():
-                files.extend(fl)
-        else:
-            for b in buckets:
-                files.extend(man["files"].get(str(b), []))
-        if not files:
+        items = (
+            man["files"].items()
+            if buckets is None
+            else ((str(b), man["files"].get(str(b), [])) for b in buckets)
+        )
+        by_seq: dict[int, list[str]] = {}
+        needs_resolve = False
+        for _b, fl in items:
+            seqs = {e["seq"] for e in fl}
+            if len(seqs) > 1:
+                needs_resolve = True
+            for e in fl:
+                by_seq.setdefault(e["seq"], []).append(e["path"])
+        if not by_seq:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*files)
+        if not (resolve and needs_resolve):
+            # fast path: every requested bucket is single-generation (or the
+            # caller wants raw row versions) — plain pruned parquet scan
+            files = [p for fl in by_seq.values() for p in fl]
+            return self.spark.read.schema(self.schema).parquet(*files)
+        gens = [
+            self.spark.read.schema(self.schema)
+            .parquet(*paths)
+            .withColumn("__seq", F.lit(seq))
+            for seq, paths in sorted(by_seq.items())
+        ]
+        df = gens[0]
+        for g in gens[1:]:
+            df = df.unionByName(g)
+        if not resolve:
+            return df.drop("__seq")
+        return self._resolve(df)
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Last-write-wins over (order_col, __seq): hash aggregate, map-side
+        combinable, no per-key sort (the skew-surviving shape; struct
+        comparison puts NULL order_col lowest = desc_nulls_last)."""
+        ord_fields = [F.col("__seq")]
+        if self.order_col:
+            ord_fields = [F.col(self.order_col), F.col("__seq")]
+        payload = [c for c in self.schema.fieldNames() if c != self.key_col]
+        return (
+            df.groupBy(self.key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload]), F.struct(*ord_fields)
+                ).alias("__row")
+            )
+            .select(self.key_col, "__row.*")
+            .select(*self.schema.fieldNames())
+        )
 
     # -- write ----------------------------------------------------------------
-    def _write_files(self, df: DataFrame) -> dict[str, list[str]]:
-        """Write df (must carry BUCKET_COL) as one file set; return bucket→files."""
+    def _write_files(self, df: DataFrame, seq: int) -> dict[str, list[dict]]:
+        """Write df (must carry BUCKET_COL) as one file set; return
+        bucket → [{path, bytes, seq}] with sizes recorded NOW (commit-time is
+        the only moment the table layer ever stats a data file)."""
         out_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         (
             df.repartition(BUCKET_COL)
@@ -108,53 +264,110 @@ class ManifestTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        bucket_files: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
+        bucket_files: dict[str, list[dict]] = {}
+        for entry in self.io.listdir(out_dir):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = entry.split("=", 1)[1]
             sub = os.path.join(out_dir, entry)
             bucket_files[b] = [
-                os.path.join(sub, f) for f in os.listdir(sub) if f.endswith(".parquet")
+                {
+                    "path": os.path.join(sub, f),
+                    "bytes": self.io.size(os.path.join(sub, f)),
+                    "seq": seq,
+                }
+                for f in self.io.listdir(sub)
+                if f.endswith(".parquet")
             ]
         return bucket_files
 
-    def _commit(self, files: dict[str, list[str]], meta: dict[str, Any]) -> int:
+    def _commit(self, files: dict[str, list[dict]], meta: dict[str, Any], snap: int) -> int:
         prev = self.current_snapshot()
-        snap = 0 if prev is None else prev + 1
         man = {"snapshot": snap, "parent": prev, "files": files, "meta": meta}
-        path = self._manifest_path(snap)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, path)
-        cur = os.path.join(self.root, "_manifests", "CURRENT")
-        tmp = cur + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(snap))
-        os.replace(tmp, cur)
+        self.io.write_text_atomic(self._manifest_path(snap), json.dumps(man))
+        self.io.write_text_atomic(
+            os.path.join(self.root, "_manifests", "CURRENT"), str(snap)
+        )
         return snap
+
+    def _next_snap(self) -> int:
+        prev = self.current_snapshot()
+        return 0 if prev is None else prev + 1
+
+    def append_buckets(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+        """MERGE-ON-READ commit: append df's rows as new delta files on each
+        touched bucket's manifest list. Commit cost (shuffle + write + stat)
+        is ∝ the delta — the existing store is never read or rewritten.
+        df must carry at most one row per key (callers dedupe); conflicts
+        with prior generations resolve at read time via (order_col, seq)."""
+        snap = self._next_snap()
+        new_files = self._write_files(
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)), snap
+        )
+        man = self._load_manifest()
+        files = {b: list(fl) for b, fl in man["files"].items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        return self._commit(files, meta or {"op": "append_delta"}, snap)
 
     def replace_buckets(
         self, df: DataFrame, touched: list[int], meta: dict[str, Any] | None = None
     ) -> int:
         """Copy-on-write commit: df supplies the full new content of `touched`
-        buckets; all other buckets carry over from the current snapshot."""
-        new_files = self._write_files(df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)))
+        buckets; all other buckets carry over from the current snapshot.
+        Used for deletes/compaction (which must drop rows) — NOT for routine
+        merges, which append deltas."""
+        snap = self._next_snap()
+        new_files = self._write_files(
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)), snap
+        )
         man = self._load_manifest()
         files = dict(man["files"])
         for b in touched:
             files.pop(str(b), None)
         for b, fl in new_files.items():
             files[b] = fl
-        return self._commit(files, meta or {})
+        return self._commit(files, meta or {}, snap)
 
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
-        new_files = self._write_files(df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)))
-        return self._commit(new_files, meta or {})
+        snap = self._next_snap()
+        new_files = self._write_files(
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)), snap
+        )
+        return self._commit(new_files, meta or {}, snap)
 
     def truncate(self, meta: dict[str, Any] | None = None) -> int:
-        return self._commit({}, meta or {"op": "truncate"})
+        return self._commit({}, meta or {"op": "truncate"}, self._next_snap())
+
+    def compact(self, buckets: list[int] | None = None, meta: dict[str, Any] | None = None) -> int:
+        """Fold multi-generation buckets back to one resolved file set.
+        Only buckets that actually carry >1 delta generation are rewritten;
+        single-generation buckets are untouched (their files carry over).
+        Run on a cadence (or via UrlStore.maintain) to bound read-side
+        resolution work."""
+        man = self._load_manifest()
+        candidates = []
+        for b, fl in man["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            if len({e["seq"] for e in fl}) > 1:
+                candidates.append(int(b))
+        if not candidates:
+            cur = self.current_snapshot()
+            return cur if cur is not None else self.truncate(meta)
+        resolved = self.read(buckets=candidates)
+        return self.replace_buckets(resolved, candidates, meta=meta or {"op": "compact"})
+
+    def delta_generations(self, bucket: int | None = None) -> int:
+        """Max distinct file generations on any (or the given) bucket —
+        observability for compaction cadence + test assertions."""
+        man = self._load_manifest()
+        worst = 0
+        for b, fl in man["files"].items():
+            if bucket is not None and int(b) != bucket:
+                continue
+            worst = max(worst, len({e["seq"] for e in fl}))
+        return worst
 
     def touched_buckets(self, df: DataFrame) -> list[int]:
         rows = (
@@ -167,18 +380,22 @@ class ManifestTable:
 
     def bytes_in_buckets(self, buckets: list[int] | None = None) -> int:
         """On-disk parquet bytes of the given buckets in the current snapshot
-        (all buckets when None) — manifest metadata only, no scan. Used to
+        (all buckets when None) — answered purely from manifest metadata
+        (sizes are recorded at commit time), zero fs calls. Used to
         size-gate broadcast decisions."""
         man = self._load_manifest()
         total = 0
         for b, fl in man["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            for f in fl:
-                try:
-                    total += os.path.getsize(f)
-                except OSError:
-                    pass
+            for e in fl:
+                if e["bytes"] is not None:
+                    total += e["bytes"]
+                else:  # legacy manifest without sizes: stat once
+                    try:
+                        total += self.io.size(e["path"])
+                    except OSError:
+                        pass
         return total
 
 
@@ -199,10 +416,20 @@ class UrlStore:
         # broadcast in resolve_keys; larger slices shuffle (AQE decides).
         self.broadcast_threshold_bytes = broadcast_threshold_bytes
         self.urls = ManifestTable(
-            spark, os.path.join(root, "urls"), URL_STORE_SCHEMA, "key", n_buckets
+            spark,
+            os.path.join(root, "urls"),
+            URL_STORE_SCHEMA,
+            "key",
+            n_buckets,
+            order_col="fetch_time",
         )
         self.id_map = ManifestTable(
-            spark, os.path.join(root, "id_map"), ID_MAP_SCHEMA, "requested_id", n_buckets
+            spark,
+            os.path.join(root, "id_map"),
+            ID_MAP_SCHEMA,
+            "requested_id",
+            n_buckets,
+            order_col=None,
         )
 
     # -- save (S9): REPLACE INTO urls + id_map --------------------------------
@@ -243,27 +470,22 @@ class UrlStore:
         order_col: str | None,
         meta: dict[str, Any] | None,
     ) -> int:
-        new_rows = new_rows.cache()
-        touched = table.touched_buckets(new_rows)
-        if not touched:
+        """MERGE = dedupe the delta to one row per key, then APPEND it as
+        per-bucket delta files (merge-on-read). The existing store is never
+        read or rewritten here — commit cost ∝ the delta, matching the
+        reference's O(delta) ``REPLACE INTO`` (storage.go:29-30). Conflicts
+        with earlier generations resolve at read time by (order_col, seq);
+        within this one commit, the max_by below keeps the newest row per
+        key (hash aggregate, map-side combinable — no per-key sort, the
+        shape that survives hot-key skew at 100 TB)."""
+        new_rows = new_rows.where(F.col(key_col).isNotNull())
+        if new_rows.limit(1).count() == 0:
             cur = table.current_snapshot()
-            return cur if cur is not None else table._commit({}, meta or {})
-        existing = table.read(buckets=touched).withColumn("__prec", F.lit(0))
-        delta = new_rows.withColumn("__prec", F.lit(1))
-        merged = existing.unionByName(delta)
-        # last-write-wins by key; ties broken toward the incoming delta —
-        # REPLACE semantics (storage.go:29-30). max_by over a lexicographic
-        # (order_col, __prec) struct instead of a row_number window: a hash
-        # aggregate with map-side partial combine, no per-key sort — the
-        # shape that survives hot-key skew at 100 TB. Struct comparison puts
-        # NULL order_col lowest, matching desc_nulls_last. Deterministic:
-        # each side carries at most one row per key, and __prec splits them.
-        cols = [c for c in merged.columns if c != "__prec"]
-        ord_fields = [F.col("__prec")]
-        if order_col:
-            ord_fields = [F.col(order_col), F.col("__prec")]
-        winner = (
-            merged.groupBy(key_col)
+            return cur if cur is not None else table.truncate(meta)
+        cols = new_rows.columns
+        ord_fields = [F.col(order_col)] if order_col else [F.lit(0)]
+        deduped = (
+            new_rows.groupBy(key_col)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in cols if c != key_col]),
@@ -272,9 +494,7 @@ class UrlStore:
             )
             .select(key_col, "__row.*")
         )
-        snap = table.replace_buckets(winner, touched, meta=meta)
-        new_rows.unpersist()
-        return snap
+        return table.append_buckets(deduped, meta=meta)
 
     # -- read (S6 + J1 + F3) ---------------------------------------------------
     def resolve_keys(self, requested: DataFrame, key_col: str = "key") -> DataFrame:
@@ -343,18 +563,29 @@ class UrlStore:
         self.urls.truncate()
         self.id_map.truncate()
 
-    # -- maintenance (S12): physical expiry + compaction ------------------------
+    # -- maintenance (S12): physical expiry + delta compaction -------------------
     def maintain(self) -> int:
+        """Physically drop expired rows AND fold all delta generations into
+        one resolved file set per table (the compaction half of
+        merge-on-read — run this on a cadence to bound read-side
+        resolution). The urls overwrite subsumes compaction; id_map (no
+        expiry column) gets a pure compact."""
         live = self.urls.read().filter(is_fresh("expires"))
-        return self.urls.overwrite(live, meta={"op": "maintain"})
+        snap = self.urls.overwrite(live, meta={"op": "maintain"})
+        self.id_map.compact(meta={"op": "maintain"})
+        return snap
 
     # -- stats (S13) -------------------------------------------------------------
     def stats(self) -> dict[str, int]:
-        urls_df = self.urls.read()
-        fresh = urls_df.filter(is_fresh("expires")).count()
+        # one Spark action per table: total + fresh in a single aggregate
+        row = self.urls.read().agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(is_fresh("expires").cast("int")).alias("f"),
+        ).collect()[0]
+        cur = self.urls.current_snapshot()
         return {
-            "total_rows": urls_df.count(),
-            "fresh_rows": fresh,
+            "total_rows": int(row.t),
+            "fresh_rows": int(row.f or 0),
             "id_map_rows": self.id_map.read().count(),
-            "snapshot": self.urls.current_snapshot() if self.urls.current_snapshot() is not None else -1,
+            "snapshot": cur if cur is not None else -1,
         }

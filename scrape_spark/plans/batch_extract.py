@@ -108,10 +108,12 @@ def _probe_corpus(requests: DataFrame, corpus: DataFrame, url_col: str) -> DataF
         requests[url_col] == F.col("__page_url"),
         "left_anti",
     )
+    # Null casts derived from the actual corpus schema (not hardcoded types):
+    # the CLI reads arbitrary user parquet, where e.g. html may be string-
+    # typed, and a type mismatch here fails unionByName analysis.
+    corpus_types = {f.name: f.dataType for f in corpus.schema.fields}
     for c in _CORPUS_COLS:
-        notfound = notfound.withColumn(
-            c, F.lit(None).cast(dict(zip(_CORPUS_COLS, ("string", "binary", "string", "int", "string")))[c])
-        )
+        notfound = notfound.withColumn(c, F.lit(None).cast(corpus_types[c]))
     return found.unionByName(notfound.select(*found.columns))
 
 
@@ -178,7 +180,7 @@ def fetch_join(
             pass
 
     def _with_plain(df: DataFrame) -> DataFrame:
-        col = _plain_text_col() if traits["plain"] else F.lit(None).cast("string")
+        col = _plain_text_col(df) if traits["plain"] else F.lit(None).cast("string")
         return df.withColumn("__plain_text", col)
 
     if not traits["redirects"]:
@@ -215,12 +217,20 @@ def fetch_join(
     return extract_pages(_with_plain(done), html_col="html")
 
 
-def _plain_text_col():
+def _plain_text_col(df: DataFrame):
     """text/plain bodies ARE the content (no markup to extract) — captured
-    before extract_pages drops the raw bytes."""
-    return F.when(
-        mime_type(F.col("__ctype")) == "text/plain", F.decode(F.col("html"), "UTF-8")
+    before extract_pages drops the raw bytes. Decode only when html is
+    actually binary: user parquet read via the CLI may carry a string-typed
+    html column, where F.decode would fail analysis."""
+    from pyspark.sql.types import BinaryType
+
+    html_is_binary = isinstance(df.schema["html"].dataType, BinaryType)
+    body = (
+        F.decode(F.col("html"), "UTF-8")
+        if html_is_binary
+        else F.col("html").cast("string")
     )
+    return F.when(mime_type(F.col("__ctype")) == "text/plain", body)
 
 
 _EXTRACTED_FIELDS = (
@@ -245,9 +255,21 @@ def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
         F.col("request_error"),
         F.when(~found, status_error(F.lit(404))),
         status_error(status),
-        # header gate when the corpus models one; byte-sniff 415 otherwise
+        # Header gate when the corpus models one, but a whitelisted type does
+        # NOT swallow a downstream extraction failure — the reference still
+        # returns trafilatura errors after the Content-Type gate passes
+        # (fetcher.go:89-105). text/plain is the one exemption: its
+        # extract_error is expected (no markup) and the body is delivered
+        # verbatim via __plain_text below. Byte-sniff 415 when no header.
         F.when(
-            F.col("__ctype").isNotNull(), content_type_error(F.col("__ctype"))
+            F.col("__ctype").isNotNull(),
+            F.coalesce(
+                content_type_error(F.col("__ctype")),
+                F.when(
+                    mime_type(F.col("__ctype")) != "text/plain",
+                    F.col("extract_error"),
+                ),
+            ),
         ).otherwise(F.col("extract_error")),
     )
     # error rows echo the requested URL (reference: RequestedURL, no canonical)

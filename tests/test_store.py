@@ -195,3 +195,142 @@ def test_merge_prunes_buckets(spark, store):
     k0_bucket = str(url_key_py("https://example.com/p0") % 8)
     changed = {b for b in man_after if man_after.get(b) != man_before.get(b)}
     assert changed == {k0_bucket}
+
+
+# ---- merge-on-read delta commits (round-3: the store-scale MERGE fix) -------
+
+
+def test_merge_commit_is_delta_sized_not_store_sized(spark, store):
+    """The scale contract: merging a small batch into a large store appends
+    per-bucket delta files — it must NOT rewrite the store (the old
+    copy-on-write MERGE rewrote every touched bucket, and uniform key
+    hashing touches all buckets for any non-trivial batch)."""
+    urls = [f"https://example.com/big{i}" for i in range(12000)]
+    _merge(spark, store, [_result_row(u, expires=dt.datetime(2099, 1, 1)) for u in urls])
+    man_before = store.urls._load_manifest()
+    paths_before = {
+        e["path"] for fl in man_before["files"].values() for e in fl
+    }
+    store_bytes = store.urls.bytes_in_buckets()
+
+    # small delta: 5 updates
+    _merge(spark, store, [
+        _result_row(f"https://example.com/big{i}", title="updated",
+                    fetch_time=dt.datetime(2030, 1, 1),
+                    expires=dt.datetime(2099, 1, 1))
+        for i in range(5)
+    ])
+    man_after = store.urls._load_manifest()
+    snap = man_after["snapshot"]
+    all_after = [e for fl in man_after["files"].values() for e in fl]
+    new_entries = [e for e in all_after if e["seq"] == snap]
+    carried = {e["path"] for e in all_after if e["seq"] != snap}
+
+    # every pre-existing data file carries over untouched (zero rewrite)
+    assert carried == paths_before
+    # commit bytes ∝ delta, not store (the residual is parquet's fixed
+    # per-file footer overhead — ≤ n_buckets delta files regardless of n)
+    new_bytes = sum(e["bytes"] for e in new_entries)
+    assert 0 < new_bytes < store_bytes * 0.25
+    assert len(new_entries) <= store.urls.n_buckets
+    # and the resolved view is correct: still one row per key, updates win
+    resolved = store.urls.read()
+    assert resolved.count() == 12000
+    updated = {
+        r.title
+        for r in resolved.filter(F.col("parsed_url").rlike("big[0-4]$")).collect()
+    }
+    assert updated == {"updated"}
+
+
+def test_delta_lww_respects_order_col_over_commit_order(spark, store):
+    """A LATER commit carrying an OLDER fetch_time must lose to the stored
+    newer row — resolution orders by (fetch_time, seq), matching the old
+    copy-on-write (order_col, __prec) semantics exactly."""
+    url = "https://example.com/ooo"
+    _merge(spark, store, [_result_row(url, title="newer", fetch_time=dt.datetime(2026, 2, 1),
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row(url, title="stale", fetch_time=dt.datetime(2026, 1, 1),
+                                      expires=dt.datetime(2099, 1, 1))])
+    rows = store.urls.read().filter(F.col("parsed_url") == url).collect()
+    assert len(rows) == 1 and rows[0].title == "newer"
+
+
+def test_maintain_compacts_delta_generations(spark, store):
+    urls = [f"https://example.com/g{i}" for i in range(50)]
+    for chunk in range(3):  # 3 delta commits → up to 3 generations/bucket
+        _merge(spark, store, [
+            _result_row(u, title=f"v{chunk}", fetch_time=dt.datetime(2026, 1, 1 + chunk),
+                        expires=dt.datetime(2099, 1, 1))
+            for u in urls
+        ])
+    assert store.urls.delta_generations() > 1
+    assert store.id_map.delta_generations() > 1
+    n_before = store.urls.read().count()
+    store.maintain()
+    assert store.urls.delta_generations() == 1
+    assert store.id_map.delta_generations() == 1
+    assert store.urls.read().count() == n_before
+    titles = {r.title for r in store.urls.read().collect()}
+    assert titles == {"v2"}
+
+
+def test_single_generation_read_skips_resolution(spark, store):
+    """Post-compaction reads must be plain pruned parquet scans — no
+    aggregate in the plan (the fast path that keeps filter pushdown)."""
+    _merge(spark, store, [_result_row("https://example.com/fast",
+                                      expires=dt.datetime(2099, 1, 1))])
+    plan = store.urls.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan and "HashAggregate" not in plan
+    # two generations → resolution appears
+    _merge(spark, store, [_result_row("https://example.com/fast2",
+                                      expires=dt.datetime(2099, 1, 1))])
+    if store.urls.delta_generations() > 1:
+        plan2 = store.urls.read()._jdf.queryExecution().executedPlan().toString()
+        assert "max_by" in plan2
+
+
+# ---- FileIO seam (object-store readiness) -----------------------------------
+
+
+class _RecordingIO:
+    """Wraps LocalFileIO recording every metadata call — proves the table
+    layer never touches the fs behind the seam's back."""
+
+    def __init__(self):
+        from scrape_spark.operators.store import LocalFileIO
+
+        self._inner = LocalFileIO()
+        self.calls = []
+
+    def __getattr__(self, name):
+        inner = getattr(self._inner, name)
+
+        def wrapper(*a, **kw):
+            self.calls.append((name, a[0] if a else None))
+            return inner(*a, **kw)
+
+        return wrapper
+
+
+def test_manifest_table_routes_fs_ops_through_io_seam(spark, tmp_path):
+    from scrape_spark.operators.store import ManifestTable
+    from scrape_spark.schemas import ID_MAP_SCHEMA
+
+    io = _RecordingIO()
+    t = ManifestTable(
+        spark, str(tmp_path / "seam"), ID_MAP_SCHEMA, "requested_id",
+        n_buckets=4, order_col=None, io=io,
+    )
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], ID_MAP_SCHEMA)
+    t.append_buckets(df)
+    t.append_buckets(spark.createDataFrame([(1, 99)], ID_MAP_SCHEMA))
+    assert t.read().count() == 20
+    assert t.read().filter(F.col("requested_id") == 1).collect()[0].canonical_id == 99
+    ops = {c[0] for c in io.calls}
+    assert {"makedirs", "write_text_atomic", "read_text", "listdir", "size"} <= ops
+
+    # bytes_in_buckets answers from manifest metadata — ZERO stat calls
+    io.calls.clear()
+    assert t.bytes_in_buckets() > 0
+    assert not any(op == "size" for op, _ in io.calls)
