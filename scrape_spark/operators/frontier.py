@@ -206,14 +206,29 @@ class Crawl:
             allowed.select(*FRONTIER_SCHEMA.fieldNames(), "crawl_delay"), seen_keys, bloom
         )
 
-        # 3. politeness quota + deterministic per-host ranking
+        # 3. politeness quota + deterministic per-host ranking. `ranked` is
+        # cached ONCE and feeds selected, deferred, and the epoch stats — the
+        # Bloom-probe/anti-join pipeline executes a single time per epoch
+        # (it used to recompute for deferred and again for stats).
         w = W.partitionBy("host").orderBy("priority", "depth", "key")
-        ranked = candidates.withColumn("rank", F.row_number().over(w)).withColumn(
-            "budget", cfg.budget_expr()
+        ranked = (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .withColumn("budget", cfg.budget_expr())
+            .cache()
         )
+        # one aggregate materializes the cache AND yields the stats; the
+        # selected count doubles as the fetch-join probe-size hint below
+        sel_def = ranked.agg(
+            F.coalesce(
+                F.sum((F.col("rank") <= F.col("budget")).cast("long")), F.lit(0)
+            ).alias("sel"),
+            F.coalesce(
+                F.sum((F.col("rank") > F.col("budget")).cast("long")), F.lit(0)
+            ).alias("defer"),
+        ).collect()[0]
         selected = ranked.filter(F.col("rank") <= F.col("budget")).drop(
             "budget", "crawl_delay"
-        ).cache()
+        )
         deferred = (
             ranked.filter(F.col("rank") > F.col("budget"))
             .select(*FRONTIER_SCHEMA.fieldNames())
@@ -234,6 +249,7 @@ class Crawl:
                 "depth", "priority", "rank",
             ),
             self.pages,
+            probe_rows_hint=int(sel_def.sel),
         ).cache()
         results = finalize_results(extracted, self.store.ttl_seconds).cache()
         errors = results.filter(F.col("error").isNotNull())
@@ -303,19 +319,9 @@ class Crawl:
             "epoch", F.lit(epoch)
         ).write.mode("overwrite").parquet(os.path.join(edir, "selected.parquet"))
 
-        # Stats from as few jobs as possible: selected/deferred fall out of
-        # ONE aggregate over the ranked pipeline (was two full recomputes),
-        # robots_denied is one agg over the frontier read, and errors /
-        # next_frontier are read back from artifacts this epoch already
-        # wrote (parquet row-count reads, no recompute).
-        sel_def = ranked.agg(
-            F.coalesce(
-                F.sum((F.col("rank") <= F.col("budget")).cast("long")), F.lit(0)
-            ).alias("sel"),
-            F.coalesce(
-                F.sum((F.col("rank") > F.col("budget")).cast("long")), F.lit(0)
-            ).alias("defer"),
-        ).collect()[0]
+        # Remaining stats are cache hits or parquet row-count reads — the
+        # selected/deferred aggregate already ran (before the fetch), and
+        # errors / next_frontier come from artifacts this epoch wrote.
         n_denied = fr.agg(
             F.coalesce(F.sum(F.col("__denied").cast("long")), F.lit(0))
         ).collect()[0][0]
@@ -340,7 +346,7 @@ class Crawl:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(edir, "_COMMIT.json"))
-        for df in (results, extracted, selected, seen_keys):
+        for df in (results, extracted, ranked, seen_keys):
             df.unpersist()
         if bloom is not None:
             bloom.unpersist()

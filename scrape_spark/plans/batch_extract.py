@@ -51,6 +51,42 @@ _VALID_URL = r"^https?://[^/?#]+"
 
 RESULT_COLS = RESULT_SCHEMA.fieldNames()
 
+# ---- automatic fetch-join strategy gate --------------------------------------
+# Above this estimated corpus size, a plain left join's corpus shuffle is no
+# longer page-cache-local — it crosses a network on any real cluster — so the
+# zero-corpus-shuffle decomposed plan wins. Below it, the measured single-box
+# numbers (119k vs 104k pages/s at 1.3M pages, local[16]) keep the plain
+# join the default. Module-level so tests/ops can tune it.
+CORPUS_SHUFFLE_BYTES = 8 << 30
+# Never broadcast a probe side bigger than this many rows (a ~200 B request
+# row × 4M ≈ 800 MB broadcast — beyond this the decomposition's premise that
+# the batch is "bounded" has failed and the plain join is safer).
+MAX_BROADCAST_PROBE_ROWS = 4_000_000
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of the plan's output (for a parquet scan:
+    the file bytes × compression factor) — free, no job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j estimation unavailable
+        return None
+
+
+def choose_probe_strategy(
+    corpus_bytes: int | None, probe_rows: int | None
+) -> bool:
+    """True ⇒ use the decomposed zero-corpus-shuffle plan (broadcast the
+    request batch, stream the corpus in place); False ⇒ plain left join.
+    The decision the crawl epoch / CLI no longer has to know about: corpus
+    big enough that its shuffle would cross a network, AND the probe side
+    verifiably bounded."""
+    if corpus_bytes is None or corpus_bytes < CORPUS_SHUFFLE_BYTES:
+        return False
+    if probe_rows is not None and probe_rows > MAX_BROADCAST_PROBE_ROWS:
+        return False
+    return True
+
 
 def prepare_requests(requests: DataFrame, url_col: str = "url") -> DataFrame:
     """Validate + canonicalize + key a batch of requested URLs.
@@ -98,9 +134,10 @@ def _probe_corpus(requests: DataFrame, corpus: DataFrame, url_col: str) -> DataF
     makes broadcasting it the right plan once the corpus shuffle crosses a
     NETWORK. Measured single-box (local[16], 1.3M pages) the plain left
     join is ~15% faster (119k vs 104k pages/s): the "shuffle" there is
-    page-cache-local while the 1.3M-entry broadcast map thrashes CPU cache —
-    so this shape is opt-in (`fetch_join(broadcast_probe=True)`) and the
-    redirect-hop probes (tiny request subsets) use it unconditionally."""
+    page-cache-local while the 1.3M-entry broadcast map thrashes CPU cache.
+    The choice is AUTOMATIC (``choose_probe_strategy``: Catalyst's corpus
+    size estimate vs the caller's batch-count hint); the redirect-hop
+    probes (tiny request subsets) use this shape unconditionally."""
     probe = F.broadcast(requests)
     found = corpus.join(probe, requests[url_col] == corpus["__page_url"], "inner")
     notfound = requests.join(
@@ -121,7 +158,8 @@ def fetch_join(
     misses: DataFrame,
     pages: DataFrame,
     max_redirect_hops: int = 4,
-    broadcast_probe: bool = False,
+    broadcast_probe: bool | None = None,
+    probe_rows_hint: int | None = None,
 ) -> DataFrame:
     """The 'network' stage: equi-join against the pages corpus (absent ⇒
     404 later), then one vectorized extraction pass. Keeps the extract's
@@ -148,6 +186,14 @@ def fetch_join(
             "__redirect_to"
         ),
     )
+    if broadcast_probe is None:
+        # Automatic strategy: no flag the user must know about. The hint
+        # comes from the caller when it knows the batch size for free (the
+        # crawl epoch's politeness-capped selected count) — never a count()
+        # job here.
+        broadcast_probe = choose_probe_strategy(
+            _plan_size_bytes(pages), probe_rows_hint
+        )
     if broadcast_probe:
         joined = _probe_corpus(misses, corpus, "parsed_url")
     else:
@@ -183,8 +229,15 @@ def fetch_join(
         col = _plain_text_col(df) if traits["plain"] else F.lit(None).cast("string")
         return df.withColumn("__plain_text", col)
 
+    def _tag(df: DataFrame) -> DataFrame:
+        try:
+            df._scrape_probe_strategy = "decomposed" if broadcast_probe else "plain"
+        except AttributeError:  # pragma: no cover
+            pass
+        return df
+
     if not traits["redirects"]:
-        return extract_pages(_with_plain(joined), html_col="html")
+        return _tag(extract_pages(_with_plain(joined), html_col="html"))
     # never-null predicate: False when redirect_to is null (False AND NULL ≡
     # False), defined when it isn't (coalesce guards a null status)
     is_redirect = F.col("__redirect_to").isNotNull() & F.coalesce(
@@ -214,7 +267,7 @@ def fetch_join(
         ),
     )
     done = done.unionByName(exhausted)
-    return extract_pages(_with_plain(done), html_col="html")
+    return _tag(extract_pages(_with_plain(done), html_col="html"))
 
 
 def _plain_text_col(df: DataFrame):
@@ -292,6 +345,18 @@ def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
                 else F.lit(FETCH_METHOD_DIRECT)
             ),
         )
+        .withColumn(
+            "user_agent",
+            F.col("__user_agent")
+            if "__user_agent" in extracted.columns
+            else F.lit(None).cast("string"),
+        )
+        .withColumn(
+            "headers",
+            F.col("__headers")
+            if "__headers" in extracted.columns
+            else F.lit(None).cast("map<string,string>"),
+        )
         .withColumn("expires", expires_at("fetch_time", ttl_seconds))
         .withColumn("authors", author_split("author"))
     )
@@ -309,8 +374,15 @@ def finalize_results(extracted: DataFrame, ttl_seconds: int) -> DataFrame:
     return _as_result(out)
 
 
-def fetch_and_extract(misses: DataFrame, pages: DataFrame, ttl_seconds: int) -> DataFrame:
-    return finalize_results(fetch_join(misses, pages), ttl_seconds)
+def fetch_and_extract(
+    misses: DataFrame,
+    pages: DataFrame,
+    ttl_seconds: int,
+    probe_rows_hint: int | None = None,
+) -> DataFrame:
+    return finalize_results(
+        fetch_join(misses, pages, probe_rows_hint=probe_rows_hint), ttl_seconds
+    )
 
 
 def batch_extract(
@@ -339,6 +411,9 @@ def batch_extract(
     req = prepare_requests(requests)
     req = req.withColumn("__fetch_method", F.lit(fetch_method))
     if settings is not None:
+        # Per-domain routing AND provenance: the resolved user_agent/headers
+        # ride the request (and land on the result row) — parity with the
+        # reference handing them to the fetch client (settings/domain.go:43-49).
         req = (
             settings.join_fetch_config(
                 req.withColumn("__host", hostname_col(F.col("parsed_url"))), "__host"
@@ -350,7 +425,13 @@ def batch_extract(
                     F.lit(FETCH_METHOD_HEADLESS),
                 ).otherwise(F.col("__fetch_method")),
             )
-            .drop("__host", "sitename", "fetch_client", "user_agent", "headers")
+            .withColumnRenamed("user_agent", "__user_agent")
+            .withColumnRenamed("headers", "__headers")
+            .drop("__host", "sitename", "fetch_client")
+        )
+    else:
+        req = req.withColumn("__user_agent", F.lit(None).cast("string")).withColumn(
+            "__headers", F.lit(None).cast("map<string,string>")
         )
     # In-flight dedupe by requested key — strictly stronger than the
     # reference's REPLACE-race (SURVEY §2.8), same observable store state.
@@ -390,6 +471,8 @@ def batch_extract(
             F.col("original_url"),
             F.col("s_fetch_time").alias("fetch_time"),
             F.col("s_fetch_method").alias("fetch_method"),
+            F.col("s_user_agent").alias("user_agent"),
+            F.col("s_headers").alias("headers"),
             F.col("s_expires").alias("expires"),
             F.col("s_status_code").alias("status_code"),
             F.col("s_error").alias("error"),
@@ -410,7 +493,8 @@ def batch_extract(
     )
 
     misses = joined.filter(F.col("s_key").isNull()).select(
-        "original_url", "parsed_url", "key", "request_error", "__fetch_method"
+        "original_url", "parsed_url", "key", "request_error",
+        "__fetch_method", "__user_agent", "__headers",
     )
     fetched = fetch_and_extract(misses, pages, store.ttl_seconds)
 

@@ -46,6 +46,12 @@ RESULT_FIELDS = [
     T.StructField("original_url", T.StringType(), True),  # echoed, never stored
     T.StructField("fetch_time", T.TimestampType(), True),
     T.StructField("fetch_method", T.IntegerType(), True),
+    # Resolved per-domain fetch config provenance (S3 parity beyond
+    # fetch_method: settings/domain.go:43-49 routes UA + extra headers to
+    # the client; here the resolved values ride the result row). NULL =
+    # engine defaults (no per-domain override configured).
+    T.StructField("user_agent", T.StringType(), True),
+    T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
     T.StructField("expires", T.TimestampType(), True),
     T.StructField("status_code", T.IntegerType(), True),
     T.StructField("error", T.StringType(), True),         # error rows are data

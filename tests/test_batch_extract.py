@@ -186,9 +186,82 @@ def test_fetch_client_routing(spark, pages, tmp_path):
     assert rows[page_url(0, 1)].fetch_method == FETCH_METHOD_DIRECT
 
 
+def test_settings_provenance_on_results(spark, pages, tmp_path):
+    """The RESOLVED per-domain user_agent + headers land on result rows
+    (settings/domain.go:43-49 hands them to the fetch client; the engine
+    records what was handed). Hosts without settings carry NULLs (engine
+    defaults), and the provenance survives the store round-trip."""
+    from scrape_spark.operators.settings import DomainSettingsStore
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.schemas import DOMAIN_SETTINGS_SCHEMA
+
+    settings = DomainSettingsStore(spark, str(tmp_path / "ds2"))
+    settings.upsert(
+        spark.createDataFrame(
+            [("h00001.ex1.test", None, None, ":chrome:", {"x-test": "1"})],
+            schema=DOMAIN_SETTINGS_SCHEMA,
+        )
+    )
+    store = UrlStore(spark, str(tmp_path / "s2"), n_buckets=8)
+    rows = {
+        r.original_url: r
+        for r in batch_extract(
+            spark, _req_df(spark, [page_url(0, 1), page_url(1, 2)]), pages,
+            store=store, settings=settings,
+        ).collect()
+    }
+    assert rows[page_url(1, 2)].user_agent.startswith("Mozilla/5.0")  # expanded alias
+    assert rows[page_url(1, 2)].headers == {"X-Test": "1"}            # canonicalized
+    assert rows[page_url(0, 1)].user_agent is None
+    assert rows[page_url(0, 1)].headers is None
+    # cache hit keeps the stored provenance
+    hit = batch_extract(
+        spark, _req_df(spark, [page_url(1, 2)]), pages, store=store, settings=settings,
+    ).collect()[0]
+    assert hit.user_agent.startswith("Mozilla/5.0")
+
+
 def test_unordered_union_has_all_columns(spark, pages, tmp_path):
     from scrape_spark.schemas import RESULT_SCHEMA
 
     store = UrlStore(spark, str(tmp_path / "s4"), n_buckets=8)
     out = batch_extract(spark, _req_df(spark, [page_url(0, 2), page_url(0, 4)]), pages, store)
     assert out.schema.fieldNames() == RESULT_SCHEMA.fieldNames()
+
+
+def test_auto_probe_strategy_gate(spark, pages, monkeypatch):
+    """broadcast_probe=None picks the plan automatically: plain join on a
+    small/single-box corpus (the measured-faster default), the decomposed
+    zero-corpus-shuffle plan when the corpus size estimate crosses the
+    network-shuffle threshold and the batch is verifiably bounded."""
+    import scrape_spark.plans.batch_extract as bx
+
+    # pure decision-function boundaries
+    assert bx.choose_probe_strategy(None, 100) is False           # unknown corpus
+    assert bx.choose_probe_strategy(1 << 20, 100) is False        # small corpus
+    assert bx.choose_probe_strategy(bx.CORPUS_SHUFFLE_BYTES, 100) is True
+    assert bx.choose_probe_strategy(
+        bx.CORPUS_SHUFFLE_BYTES, bx.MAX_BROADCAST_PROBE_ROWS + 1
+    ) is False                                                     # unbounded batch
+    assert bx.choose_probe_strategy(bx.CORPUS_SHUFFLE_BYTES, None) is True
+
+    req = bx.prepare_requests(
+        _req_df(spark, [page_url(0, 1), "https://missing.test/x"])
+    ).withColumn("__fetch_method", F.lit(1))
+
+    # default thresholds: this test corpus is tiny → plain join
+    out_plain = bx.fetch_join(req, pages, probe_rows_hint=2)
+    assert out_plain._scrape_probe_strategy == "plain"
+
+    # corpus "large" (threshold forced down): decomposed plan chosen,
+    # visible in the physical plan as the left-anti arm of the union
+    monkeypatch.setattr(bx, "CORPUS_SHUFFLE_BYTES", 1)
+    out_auto = bx.fetch_join(req, pages, probe_rows_hint=2)
+    assert out_auto._scrape_probe_strategy == "decomposed"
+    plan = out_auto._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # and both plans agree on the rows
+    shape = lambda df: {  # noqa: E731
+        (r["original_url"], r["title"]) for r in df.select("original_url", "title").collect()
+    }
+    assert shape(out_auto) == shape(out_plain)

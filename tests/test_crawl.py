@@ -150,3 +150,25 @@ def test_resume_from_checkpoint(spark, tmp_path_factory, pages, model, crawl_run
             spark, ref_crawl, epoch
         )
     shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_epoch_stats_do_not_recompute_pipelines(spark, tmp_path_factory, pages):
+    """Round-3 ratchet: the selected/deferred stats must come from the ONE
+    cached ranked pipeline (computed before the fetch, doubling as the
+    fetch-join probe-size hint) — not from re-running the Bloom-probe /
+    anti-join plan. Pinned via total Spark job count per epoch: the
+    recompute shape measured ~97 jobs/epoch on this exact workload, the
+    single-pass shape ~63. Bound set between with headroom for AQE noise."""
+    tmpdir = str(tmp_path_factory.mktemp("jobs"))
+    crawl = _mk_crawl(spark, tmpdir, pages)
+    crawl.seed(seed_urls(N_HOSTS))
+
+    def njobs():
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+
+    for epoch in range(2):
+        before = njobs()
+        stats = crawl.run_epoch(epoch)
+        delta = njobs() - before
+        assert delta <= 80, f"epoch {epoch} ran {delta} jobs (recompute regression?)"
+        assert stats["selected"] > 0

@@ -25,6 +25,8 @@ def _result_row(url, canonical=None, title="t", error=None, fetch_time=None, exp
         "original_url": url,
         "fetch_time": fetch_time,
         "fetch_method": 1,
+        "user_agent": None,
+        "headers": None,
         "expires": expires,
         "status_code": 200,
         "error": error,
