@@ -640,16 +640,22 @@ def ann_topk(spark, sf):
 def ann_topk_lsh_q(spark, sf):  # recall vs brute force pinned by pytest
     from scrape_spark.operators.similarity import ann_topk_lsh
 
+    # min_corpus_rows=0 FORCES the LSH path: at driver/bench scale the size
+    # gate would silently fall back to exact brute force, and the published
+    # 'LSH' timing/rows would actually measure ann_topk. Forcing keeps the
+    # benchmark honest about which code ran (production callers keep the
+    # gate, which is measured to never lose below the crossover).
     e = _t(spark, sf, "embeddings")
-    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5, min_corpus_rows=0)
 
 
 @_q("ann_topk_ivf")  # rows-only: IVF list assignment is engine-specific;
 def ann_topk_ivf_q(spark, sf):  # recall vs brute force pinned by pytest
     from scrape_spark.operators.similarity import ann_topk_ivf
 
+    # min_corpus_rows=0 forces the IVF path (see ann_topk_lsh_q)
     e = _t(spark, sf, "embeddings")
-    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 10), k=5)
+    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 10), k=5, min_corpus_rows=0)
 
 
 # -- sessionization (gap-based) over the events stream table -------------------

@@ -122,7 +122,10 @@ def ann_topk_lsh(
     per-table bucket ids) and fanned out with posexplode — one corpus scan
     total, vs the naive one-scan-per-table union shape which was 12× slower
     at 5-20k rows."""
-    n_corpus = corpus.count()
+    # count the corpus ONLY when a decision needs it (the size gate, or
+    # adaptive plane sizing) — a forced-LSH call with explicit n_planes
+    # pays zero extra jobs
+    n_corpus = corpus.count() if (min_corpus_rows or n_planes is None) else None
     if min_corpus_rows and n_corpus < min_corpus_rows:
         return ann_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     if n_planes is None:
@@ -236,7 +239,7 @@ def ann_topk_ivf(
     rationale as ann_topk_lsh."""
     from pyspark.sql.functions import pandas_udf
 
-    n_corpus = corpus.count()
+    n_corpus = corpus.count() if (min_corpus_rows or n_lists is None) else None
     if min_corpus_rows and n_corpus < min_corpus_rows:
         return ann_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     if n_lists is None:
