@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-EXTRACT_SPEC_VERSION = 1
+EXTRACT_SPEC_VERSION = 2  # v2: readability-style fallback for article-less pages
 
 # Output columns appended by the extractor.
 EXTRACT_FIELDS = [
@@ -120,6 +120,7 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     # parallelism, so every full-text pass removed raises the scaling ceiling.
     scoped = h.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
     miss = scoped.isna()
+    no_article = miss & looks_html
     if miss.any():
         fallback = h[miss].str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
         scoped = scoped.copy()
@@ -137,6 +138,22 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     scoped = scoped.str.replace(r"\n{2,}", "\n", regex=True)
     content = scoped.str.strip().astype(object)
     content[~looks_html] = None
+
+    # Fallback cascade (reference: trafilatura EnableFallback,
+    # fetcher.go:13-14): pages with no <article> but paragraph structure get
+    # a readability-style text/link-density scoring pass that locates the
+    # main-content container (content buried in nested divs, nav-heavy
+    # chrome). Minority path by construction — the vectorized regex path
+    # above already finished every <article> page; rows where no container
+    # scores keep the whole-body fallback text unchanged.
+    score_rows = no_article & h.str.contains(r"(?i)<p[\s>]", regex=True).eq(True)
+    if score_rows.any():
+        from scrape_spark.operators.readability import score_main_content
+
+        rescored = h[score_rows].map(score_main_content)
+        hit = rescored.notna()
+        if hit.any():
+            content[rescored.index[hit]] = rescored[hit]
 
     links = h.str.findall(r'<a\s[^>]*href="(https?://[^"]+)"')
     links = links.map(lambda xs: list(xs) if isinstance(xs, list) else [])

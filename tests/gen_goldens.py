@@ -28,6 +28,63 @@ GOLDEN_HOSTS = 6
 GOLDEN_PER_HOST = 40
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens", "extract_golden.json")
 
+# Handcrafted article-less fixtures for the readability-style fallback
+# cascade (spec v2; reference: trafilatura EnableFallback, fetcher.go:13-14):
+# real-world-messy shapes — content in nested divs, nav-heavy chrome, link
+# farms — that the <article>-scoped fast path cannot handle.
+FALLBACK_PAGES: list[tuple[str, str]] = [
+    (
+        "https://fallback.test/nested-divs",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n'
+        "<title>Nested story</title>\n"
+        '<meta name="description" content="story buried in divs">\n'
+        "</head>\n<body>\n"
+        '<div class="chrome"><a href="https://fallback.test/">Home</a> | '
+        '<a href="https://fallback.test/world">World</a> | '
+        '<a href="https://fallback.test/tech">Tech</a></div>\n'
+        '<div class="page">\n <div class="wrapper">\n  <div class="post-body">\n'
+        "   <p>The committee met on Tuesday, after weeks of delay, to review the draft report.</p>\n"
+        "   <p>Its findings, released later that day, point to a steady rise in river temperatures, "
+        "with the sharpest change recorded downstream of the plant.</p>\n"
+        "   <p>Officials said monitoring would continue through the winter.</p>\n"
+        "  </div>\n </div>\n</div>\n"
+        '<div class="related"><a href="https://fallback.test/a">More coverage</a> '
+        '<a href="https://fallback.test/b">Subscribe today</a></div>\n'
+        "</body>\n</html>\n",
+    ),
+    (
+        "https://fallback.test/nav-heavy",
+        '<!DOCTYPE html>\n<html lang="en">\n<head><title>Menus everywhere</title></head>\n<body>\n'
+        '<div class="menu">\n'
+        + "".join(
+            f'<a href="https://fallback.test/cat{i}">Category {i}</a>, ' for i in range(24)
+        )
+        + "\n</div>\n"
+        '<div id="content">\n'
+        "<p>Despite the clutter, the page does carry one real story, and it lives here, "
+        "in a plain div, with commas to prove it carries prose.</p>\n"
+        "<p>A second paragraph confirms the block, adding enough text that density wins "
+        "over the link farm above.</p>\n"
+        "</div>\n"
+        '<div class="menu2">'
+        + "".join(f'<a href="https://fallback.test/tag{i}">tag{i}</a> ' for i in range(16))
+        + "</div>\n</body>\n</html>\n",
+    ),
+    (
+        "https://fallback.test/shallow",
+        '<!DOCTYPE html>\n<html lang="en">\n<head><title>Shallow</title></head>\n<body>\n'
+        "<p>Content sits directly under the body, no wrapper at all, which is common on "
+        "old pages, and it should still extract.</p>\n"
+        "<p>Second paragraph, also directly under body.</p>\n"
+        "</body>\n</html>\n",
+    ),
+    (
+        "https://fallback.test/no-candidate",
+        '<!DOCTYPE html>\n<html lang="en">\n<head><title>Tiny</title></head>\n<body>\n'
+        "<p>Too short.</p>\n<span>bare inline text</span>\n</body>\n</html>\n",
+    ),
+]
+
 
 def build_golden() -> dict:
     corpus = _gen_batch(
@@ -56,11 +113,22 @@ def build_golden() -> dict:
             "links": row.links,
             "extract_error": row.extract_error,
         }
+    fb = {}
+    fb_html = pd.Series([h.encode("utf-8") for _u, h in FALLBACK_PAGES])
+    fb_ext = extract_batch(fb_html)
+    for i, (url, _h) in enumerate(FALLBACK_PAGES):
+        row = fb_ext.iloc[i]
+        fb[url] = {
+            "title": row.title,
+            "content_text": row.content_text,
+            "extract_error": row.extract_error,
+        }
     return {
         "spec_version": EXTRACT_SPEC_VERSION,
         "n_hosts": GOLDEN_HOSTS,
         "per_host": GOLDEN_PER_HOST,
         "pages": recs,
+        "fallback_pages": fb,
     }
 
 

@@ -90,3 +90,27 @@ def test_kernel_determinism_no_spark(golden):
     for i in range(len(corpus)):
         url = corpus["url"].iloc[i]
         assert ext.iloc[i].content_text == golden["pages"][url]["content_text"], url
+
+
+def test_fallback_cascade_goldens(spark, golden):
+    """Spec v2 (reference: trafilatura EnableFallback, fetcher.go:13-14):
+    article-less pages go through the readability-style scoring pass —
+    byte-identical to the committed goldens through the distributed path,
+    and semantically the ARTICLE body, not the navigation chrome."""
+    from tests.gen_goldens import FALLBACK_PAGES
+
+    df = spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in FALLBACK_PAGES], ["url", "html"]
+    ).repartition(3)
+    rows = {r.url: r for r in extract_pages(df).collect()}
+    for url, want in golden["fallback_pages"].items():
+        assert rows[url].content_text == want["content_text"], url
+        assert rows[url].title == want["title"], url
+
+    nested = rows["https://fallback.test/nested-divs"].content_text
+    assert nested.startswith("The committee met")
+    assert "Home" not in nested and "Subscribe" not in nested  # chrome dropped
+    nav = rows["https://fallback.test/nav-heavy"].content_text
+    assert "real story" in nav and "Category" not in nav       # link farm loses
+    tiny = rows["https://fallback.test/no-candidate"].content_text
+    assert "Too short." in tiny                                # whole-body fallback kept
