@@ -3,12 +3,15 @@
 The reference parses feeds with gofeed and flattens item links into a batch
 request (resource/feed.go:9-21; api/server.go:330-333). Here:
 
-- ``parse_feeds``: vectorized pandas regex extraction of RSS ``<item>`` /
-  Atom ``<entry>`` links and titles over Arrow batches → one row per feed
-  with ``items array<struct<title,link>>`` (the UDTF shape). If the optional
-  ``feedparser`` package is importable it is used instead (full spec
-  coverage); the regex path is the deterministic default and the only one
-  exercised in CI.
+- ``parse_feeds``: vectorized pandas regex extraction of RSS 2.0 ``<item>``
+  / Atom ``<entry>`` / RSS 1.0 RDF ``<item rdf:about>`` links and titles
+  over Arrow batches → one row per feed with ``items
+  array<struct<title,link>>`` (the UDTF shape). Covers CDATA, XML entities,
+  atom rel semantics (alternate default, first-alternate-wins across
+  hreflang variants), and the xml:base scope chain (feed URL ← root ←
+  entry ← link). If the optional ``feedparser`` package is importable it is
+  used instead (full spec coverage); the regex path is the deterministic
+  default and the only one exercised in CI.
 - ``feed_to_requests``: explode item links → the batch-extract pipeline's
   request shape — the reference's /feed → /batch fan-out.
 """
@@ -49,12 +52,18 @@ FEED_SCHEMA = T.StructType(
     ]
 )
 
-_ITEM_RE = r"(?s)<(?:item|entry)[\s>](.*?)</(?:item|entry)>"
+# Matches RSS 2.0 <item>, Atom <entry>, AND RSS 1.0 RDF <item rdf:about=..>
+# (RDF items are SIBLINGS of <channel>, not children — gofeed's RSS 1.0
+# translator flattens them the same way, fetch/feed/feed.go:95-117).
+# Group 1 = the opening tag's attributes, group 2 = the element content.
+_ITEM_RE = r"(?s)<(?:item|entry)\b([^>]*)>(.*?)</(?:item|entry)>"
 _RSS_LINK_RE = r"(?s)<link>\s*(.*?)\s*</link>"
 _ATOM_LINK_TAG_RE = r"<link\b([^>]*?)/?>"
-_ATTR_RE = r"""(\w[\w:-]*)\s*=\s*["']([^"']*)["']"""
+_ATTR_RE = r"""([\w:-]+)\s*=\s*["']([^"']*)["']"""
 _TITLE_RE = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
 _CDATA_RE = r"(?s)^<!\[CDATA\[(.*?)\]\]>$"
+_ROOT_TAG_RE = r"(?s)<(?:feed|rss|rdf:RDF)\b([^>]*)>"
+_XML_BASE_RE = r"""xml:base\s*=\s*["']([^"']*)["']"""
 
 # minimal XML entity set (spec-defined five + numeric forms handled below)
 _XML_ENTITIES = (
@@ -80,11 +89,15 @@ def _clean_text(s: str | None) -> str | None:
     return out.strip() or None
 
 
-def _atom_link(chunk: str) -> str | None:
+def _atom_link(chunk: str, base: str) -> str | None:
     """Pick the item link among <link> tags the way a feed consumer does:
     rel="alternate" (or no rel — the Atom default IS alternate, RFC 4287
-    §4.2.7.2) wins over rel=self/enclosure/edit; first qualifying href."""
+    §4.2.7.2) wins over rel=self/enclosure/edit; among MULTIPLE alternates
+    (e.g. per-hreflang variants) the FIRST in document order wins — gofeed's
+    firstLinkWithType behavior. Each href resolves against the in-scope
+    xml:base (link-level attribute overrides the inherited base)."""
     import re
+    from urllib.parse import urljoin
 
     fallback = None
     for attrs in re.findall(_ATOM_LINK_TAG_RE, chunk):
@@ -92,26 +105,44 @@ def _atom_link(chunk: str) -> str | None:
         href = d.get("href")
         if not href:
             continue
+        link_base = urljoin(base, d["xml:base"]) if d.get("xml:base") else base
+        resolved = urljoin(link_base, href) if link_base else href
         rel = d.get("rel", "alternate").lower()
         if rel == "alternate":
-            return href
+            return resolved
         if fallback is None:
-            fallback = href
+            fallback = resolved
     return fallback
 
 
-def _parse_one(xml: str) -> tuple[str | None, list[dict]]:
+def _parse_one(xml: str, feed_url: str | None = None) -> tuple[str | None, list[dict]]:
     import re
+    from urllib.parse import urljoin
 
     if not isinstance(xml, str) or not xml.strip():
         return None, []
+    # xml:base scope chain (XML Base spec; gofeed resolves relative URIs the
+    # same way): feed URL ← root xml:base ← entry xml:base ← link xml:base
+    base = feed_url or ""
+    rm = re.search(_ROOT_TAG_RE, xml)
+    if rm:
+        bm = re.search(_XML_BASE_RE, rm.group(1))
+        if bm:
+            base = urljoin(base, bm.group(1)) if base else bm.group(1)
     head = re.split(_ITEM_RE, xml)[0]
     m = re.search(_TITLE_RE, head)
     feed_title = _clean_text(m.group(1)) if m else None
     items = []
-    for chunk in re.findall(_ITEM_RE, xml):
+    for attrs, chunk in re.findall(_ITEM_RE, xml):
+        ebm = re.search(_XML_BASE_RE, attrs)
+        ebase = urljoin(base, ebm.group(1)) if ebm else base
         lm = re.search(_RSS_LINK_RE, chunk)
-        link = _clean_text(lm.group(1)) if lm else _atom_link(chunk)
+        if lm:
+            link = _clean_text(lm.group(1))
+            if link and ebase:
+                link = urljoin(ebase, link)
+        else:
+            link = _atom_link(chunk, ebase)
         tm = re.search(_TITLE_RE, chunk)
         items.append(
             {
@@ -127,7 +158,9 @@ def parse_feeds(df: DataFrame, url_col: str = "feed_url", xml_col: str = "xml") 
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            parsed = [_parse_one(x) for x in pdf[xml_col]]
+            parsed = [
+                _parse_one(x, u) for x, u in zip(pdf[xml_col], pdf[url_col])
+            ]
             yield pd.DataFrame(
                 {
                     "feed_url": pdf[url_col].to_numpy(),

@@ -143,11 +143,44 @@ def test_frame_sampling(spark):
     assert (pdf.frame_bytes.str.len() == 32).all()
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    import pytest
+def test_real_decode_uncompressed_formats(spark):
+    """decode_backend='real' fully decodes the uncompressed formats with
+    pure numpy — BMP/PPM pixel means, WAV PCM16 duration + RMS (a 0.5-FS
+    sine ⇒ RMS = 0.5/√2), raw-frame video — while compressed codecs (PNG)
+    degrade to decode_error rows, never exceptions."""
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(
+            synth_media(spark, 36), decode_backend="real"
+        ).collect()
+    }
+    bmp = rows[3]
+    assert bmp.format == "bmp" and bmp.width == 8 + (3 % 5) * 4
+    assert 90 < bmp.pixel_mean < 165          # uniform random bytes ⇒ ~127.5
+    ppm = rows[4]
+    assert ppm.format == "ppm" and 90 < ppm.pixel_mean < 165
+    wav = rows[1]
+    assert wav.format == "wav"
+    assert abs(wav.duration_s - 0.1) < 1e-9   # sr//10 samples at sr Hz
+    assert abs(wav.sample_rms - 0.5 / 2**0.5) < 1e-3
+    vid = rows[2]
+    assert vid.format == "fvid" and vid.pixel_mean is not None
+    png = rows[0]
+    assert png.format == "png" and png.width  # header still parsed
+    assert "codec not available" in png.decode_error
+    # header backend: same rows, no deep stats, no errors on known formats
+    hdr = {
+        r.media_id: r
+        for r in extract_media_features(synth_media(spark, 36)).collect()
+    }
+    assert hdr[3].pixel_mean is None and hdr[1].sample_rms is None
+    assert hdr[0].decode_error is None
 
-    with pytest.raises(NotImplementedError):
-        extract_media_features(synth_media(spark, 3), decode_backend="real")
+
+def test_real_decode_is_deterministic(spark):
+    a = extract_media_features(synth_media(spark, 24, partitions=2), decode_backend="real").collect()
+    b = extract_media_features(synth_media(spark, 24, partitions=5), decode_backend="real").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
 
 
 def test_json_sink_omitempty_and_notext(spark):
@@ -196,3 +229,87 @@ def test_csv_url_source(spark, tmp_path):
         "https://a.test/1",
         "https://a.test/2",
     ]
+
+
+def test_feed_rss10_rdf_items(spark):
+    """RSS 1.0 (RDF): <item rdf:about=...> elements are SIBLINGS of
+    <channel>, not children — gofeed's RSS 1.0 translator flattens them
+    identically (fetch/feed/feed.go:95-117)."""
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns="http://purl.org/rss/1.0/">\n'
+        '<channel rdf:about="https://rdf.test/">\n'
+        "  <title>RDF Feed</title>\n  <link>https://rdf.test/</link>\n"
+        "  <items><rdf:Seq><rdf:li resource=\"https://rdf.test/a1\"/></rdf:Seq></items>\n"
+        "</channel>\n"
+        '<image rdf:about="https://rdf.test/logo"><title>Logo title</title></image>\n'
+        '<item rdf:about="https://rdf.test/a1">\n'
+        "  <title>First RDF item</title>\n  <link>https://rdf.test/a1</link>\n</item>\n"
+        '<item rdf:about="https://rdf.test/a2">\n'
+        "  <title>Second RDF item</title>\n  <link>https://rdf.test/a2</link>\n</item>\n"
+        "</rdf:RDF>\n"
+    )
+    row = parse_feeds(
+        spark.createDataFrame([("https://rdf.test/feed.rdf", xml)], ["feed_url", "xml"])
+    ).collect()[0]
+    assert row.feed_title == "RDF Feed"  # channel title, not the image title
+    assert [i.link for i in row.items] == ["https://rdf.test/a1", "https://rdf.test/a2"]
+    assert [i.title for i in row.items] == ["First RDF item", "Second RDF item"]
+
+
+def test_feed_xml_base_resolution(spark):
+    """xml:base scope chain (XML Base spec, honored by gofeed's resolver):
+    feed URL <- root xml:base <- entry xml:base <- link xml:base, relative
+    hrefs resolved at the innermost scope."""
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom" xml:base="https://base.test/feedroot/">\n'
+        "<title>Based</title>\n"
+        "<entry><title>root-based</title>"
+        '<link rel="alternate" href="articles/a1"/></entry>\n'
+        '<entry xml:base="/section/"><title>entry-based</title>'
+        '<link rel="alternate" href="a2"/></entry>\n'
+        "<entry><title>link-based</title>"
+        '<link rel="alternate" xml:base="https://other.test/x/" href="a3"/></entry>\n'
+        "<entry><title>absolute</title>"
+        '<link rel="alternate" href="https://abs.test/a4"/></entry>\n'
+        "</feed>\n"
+    )
+    row = parse_feeds(
+        spark.createDataFrame([("https://origin.test/f.xml", xml)], ["feed_url", "xml"])
+    ).collect()[0]
+    assert [i.link for i in row.items] == [
+        "https://base.test/feedroot/articles/a1",  # root xml:base
+        "https://base.test/section/a2",            # entry xml:base (absolute path)
+        "https://other.test/x/a3",                 # link xml:base
+        "https://abs.test/a4",                     # absolute href untouched
+    ]
+    # RSS relative links resolve against the feed URL when no xml:base
+    rss = (
+        "<rss><channel><title>Rel</title>"
+        "<item><title>r</title><link>/art/5</link></item>"
+        "</channel></rss>"
+    )
+    row2 = parse_feeds(
+        spark.createDataFrame([("https://rss.test/feed", rss)], ["feed_url", "xml"])
+    ).collect()[0]
+    assert row2.items[0].link == "https://rss.test/art/5"
+
+
+def test_feed_multiple_alternates_hreflang(spark):
+    """Multiple rel=alternate links (per-hreflang variants): the FIRST in
+    document order wins — gofeed's firstLinkWithType behavior; self/
+    enclosure rels never shadow an alternate."""
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>ML</title>\n'
+        "<entry><title>multi</title>\n"
+        '<link rel="self" href="https://ml.test/entry.atom"/>\n'
+        '<link rel="alternate" hreflang="de" href="https://ml.test/de/artikel"/>\n'
+        '<link rel="alternate" hreflang="en" href="https://ml.test/en/article"/>\n'
+        '<link rel="enclosure" href="https://ml.test/audio.mp3"/>\n'
+        "</entry></feed>"
+    )
+    row = parse_feeds(
+        spark.createDataFrame([("https://ml.test/f", xml)], ["feed_url", "xml"])
+    ).collect()[0]
+    assert [i.link for i in row.items] == ["https://ml.test/de/artikel"]
