@@ -176,10 +176,13 @@ class Crawl:
             id_map.join(fresh_keys, id_map["canonical_id"] == fresh_keys["key"])
             .select(F.col("requested_id").alias("key"))
         )
+        # NO distinct: every consumer is duplicate-insensitive (Bloom bit-OR
+        # is idempotent, left_anti ignores dupes, the sizing count only grows)
+        # and the distinct was a full key-set shuffle every epoch — the one
+        # O(store)-shuffle stage in the loop.
         seen_keys = (
             fresh_keys.unionByName(alias_seen)
             .unionByName(attempted.select("key"))
-            .distinct()
             .cache()
         )
         # one Bloom build per epoch, rebuilt from the TTL-pruned store so
@@ -273,7 +276,8 @@ class Crawl:
             )
         ).dropDuplicates(["key"])
 
-        in_flight = selected.select("key").unionByName(deferred.select("key")).distinct()
+        # no distinct — consumed by a left_anti only (dup-insensitive)
+        in_flight = selected.select("key").unionByName(deferred.select("key"))
         fresh_links = (
             self._unseen(links.join(in_flight, "key", "left_anti"), seen_keys, bloom)
             .select(*FRONTIER_SCHEMA.fieldNames())
