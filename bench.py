@@ -54,6 +54,9 @@ def main() -> None:
 
     from scrape_spark.session import get_spark
 
+    # match tools/scaling_bench.py: the 1.3M-page level GC-thrashes at the
+    # 8g default heap (measured 40s vs ~11s), the box has 128 GiB
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
 
     import __spark_entry__ as E
@@ -130,7 +133,7 @@ def main() -> None:
         large = ensure_pages(spark, large_path, lh, lp)
         n_large = large.count()
         lruns = []
-        for _ in range(2):
+        for _ in range(3):  # JVM warm-in converges over ~3 runs at this size
             t0 = time.time()
             batch_extract(spark, large.select("url"), large, store=None).count()
             lruns.append(time.time() - t0)

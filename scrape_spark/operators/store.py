@@ -299,11 +299,16 @@ class ManifestTable:
         touched bucket's manifest list. Commit cost (shuffle + write + stat)
         is ∝ the delta — the existing store is never read or rewritten.
         df must carry at most one row per key (callers dedupe); conflicts
-        with prior generations resolve at read time via (order_col, seq)."""
+        with prior generations resolve at read time via (order_col, seq).
+        An empty delta commits nothing (the write itself reports emptiness —
+        no separate count action)."""
         snap = self._next_snap()
         new_files = self._write_files(
             df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)), snap
         )
+        if not new_files:
+            cur = self.current_snapshot()
+            return cur if cur is not None else self.truncate(meta)
         man = self._load_manifest()
         files = {b: list(fl) for b, fl in man["files"].items()}
         for b, fl in new_files.items():
@@ -448,15 +453,13 @@ class UrlStore:
         )
         new_urls = incoming.select(*[F.col(c) for c in URL_STORE_SCHEMA.fieldNames() if c in cols])
 
-        # alias rows: requested (parsed_url) key → canonical (url) key
-        new_aliases = (
-            incoming.select(
-                url_key(F.col("parsed_url")).alias("requested_id"),
-                F.col("key").alias("canonical_id"),
-            )
-            .where(F.col("requested_id").isNotNull())
-            .dropDuplicates(["requested_id"])
-        )
+        # alias rows: requested (parsed_url) key → canonical (url) key.
+        # NOT pre-deduped — _merge_table's max_by dedupe is the single
+        # per-key pass (a dropDuplicates here was a second full shuffle).
+        new_aliases = incoming.select(
+            url_key(F.col("parsed_url")).alias("requested_id"),
+            F.col("key").alias("canonical_id"),
+        ).where(F.col("requested_id").isNotNull())
 
         snap = self._merge_table(self.urls, new_urls, "key", order_col="fetch_time", meta=meta)
         self._merge_table(self.id_map, new_aliases, "requested_id", order_col=None, meta=meta)
@@ -477,11 +480,11 @@ class UrlStore:
         with earlier generations resolve at read time by (order_col, seq);
         within this one commit, the max_by below keeps the newest row per
         key (hash aggregate, map-side combinable — no per-key sort, the
-        shape that survives hot-key skew at 100 TB)."""
+        shape that survives hot-key skew at 100 TB). ONE Spark action total
+        (the delta write) — emptiness is detected from the write result, and
+        intra-delta dedupe happens here only (callers must NOT pre-dedupe:
+        two shuffles for one invariant)."""
         new_rows = new_rows.where(F.col(key_col).isNotNull())
-        if new_rows.limit(1).count() == 0:
-            cur = table.current_snapshot()
-            return cur if cur is not None else table.truncate(meta)
         cols = new_rows.columns
         ord_fields = [F.col(order_col)] if order_col else [F.lit(0)]
         deduped = (
