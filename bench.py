@@ -133,7 +133,7 @@ def main() -> None:
         large = ensure_pages(spark, large_path, lh, lp)
         n_large = large.count()
         lruns = []
-        for _ in range(3):  # JVM warm-in converges over ~3 runs at this size
+        for _ in range(4):  # JVM warm-in converges over ~3-4 runs at this size
             t0 = time.time()
             batch_extract(spark, large.select("url"), large, store=None).count()
             lruns.append(time.time() - t0)

@@ -501,7 +501,12 @@ def batch_extract(
     results = hit_results.unionByName(fetched)
     if save:
         results = results.cache()
-        store.merge(results)
+        store.merge(results)  # materializes the results cache
+        # the returned frame now reads its own cache — the upstream probe
+        # caches are dead weight (leaking one per batch degrades long
+        # sessions / crawl loops)
+        req.unpersist()
+        joined.unpersist()
     return results
 
 
