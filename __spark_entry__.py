@@ -366,6 +366,39 @@ def seen_anti(spark, sf):
     )
 
 
+@_q(
+    "seen_anti_cuckoo",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+)
+def seen_anti_cuckoo(spark, sf):
+    """A4 via the cuckoo pre-filter (north rule "Bloom/cuckoo"): build the
+    partitioned filter from the seen keys, probe candidates, and exact-
+    confirm only the maybes — the composition is EXACT, so it shares
+    seen_anti's oracle."""
+    from scrape_spark.operators.cuckoo import build_cuckoo, probe_cuckoo
+
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "key")
+    seen = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+    )
+    ck = build_cuckoo(seen, "key", n_buckets=8)
+    probed = probe_cuckoo(c.select("key", "c_name"), ck, "key", n_buckets=8)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = (
+        probed.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(seen, "key", "left_anti")
+    )
+    return fresh.unionByName(confirmed).select(
+        F.col("key").alias("c_custkey"), "c_name"
+    )
+
+
 # -- A5: distinct counts ------------------------------------------------------------
 
 @_q(
@@ -705,6 +738,49 @@ def feed_explode(spark, sf):
         F.explode("items").alias("doc_id"),
         F.size("items").alias("n_items"),
     )
+
+
+# -- feed_refresh re-crawl cadence (migrations/00003_feed_refresh.sql) ----------
+
+@_q(
+    "feed_due",
+    """WITH f AS (
+         SELECT 'https://' || source || '/feed.xml' AS url,
+                1700000000 + (max(doc_id) % 90000) AS last_request,
+                3600 * (1 + count(*) % 24) AS refresh_interval,
+                1700000000 - (max(doc_id) % 50000) AS last_refresh,
+                3600 * (count(*) % 30) AS idle_timeout
+         FROM documents GROUP BY source)
+       SELECT url,
+              CAST(last_refresh + refresh_interval AS BIGINT) AS due_at,
+              CAST(last_refresh AS BIGINT) AS last_refresh,
+              CAST(refresh_interval AS BIGINT) AS refresh_interval
+       FROM f
+       WHERE last_refresh + refresh_interval <= 1700050000
+         AND last_request + idle_timeout > 1700050000""",
+)
+def feed_due(spark, sf):
+    """Re-crawl cadence scan: which feeds are due for refresh at `now`
+    (overdue by refresh_interval AND requested within idle_timeout), per
+    the feed_refresh table semantics. The feeds dim is synthesized
+    deterministically from `documents` so the oracle can mirror it."""
+    from scrape_spark.sources.feed_refresh import due_feeds
+
+    d = _t(spark, sf, "documents")
+    feeds = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("m"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit("/feed.xml")).alias("url"),
+            (F.lit(1700000000) + F.col("m") % 90000).cast("long").alias("last_request"),
+            (F.lit(3600) * (F.lit(1) + F.col("n") % 24)).cast("long").alias(
+                "refresh_interval"
+            ),
+            (F.lit(1700000000) - F.col("m") % 50000).cast("long").alias("last_refresh"),
+            (F.lit(3600) * (F.col("n") % 30)).cast("long").alias("idle_timeout"),
+        )
+    )
+    return due_feeds(feeds, 1700050000)
 
 
 # -- K3: md5 basename for golden-fixture naming --------------------------------

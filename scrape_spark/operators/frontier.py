@@ -15,8 +15,15 @@ public-spec semantics:
   No dependence on partition iteration order anywhere.
 - **Seen-set**: fresh store keys (TTL-expired rows re-enter the frontier —
   the reference's expired⇒miss⇒refetch semantics) plus an `attempted`
-  table for error URLs so failures don't loop. Probed via the partitioned
-  Bloom pre-filter + exact anti-join confirm (exact result, scale-safe).
+  table for error URLs so failures don't loop. Probed via a partitioned
+  pre-filter + exact anti-join confirm (exact result, scale-safe). Two
+  pre-filters (north rule: "Bloom/cuckoo"): the Bloom is rebuilt from the
+  TTL-pruned store every epoch (O(store)/epoch build); the cuckoo filter
+  is maintained *incrementally* — per-epoch inserts of the keys committed
+  this epoch and deletes of the keys whose TTL expired inside the epoch's
+  committed watermark window (exactly-once), so maintenance cost ∝ delta.
+  Alias copies are never deleted (conservative false positives resolved by
+  the exact confirm); an overflowing bucket is flagged and rebuilt alone.
 - **Checkpoint/resume**: each epoch commits {frontier, metrics, attempted,
   store snapshot ids} under epochs/e{N}/ with an atomic _COMMIT marker;
   resume re-runs from the last committed epoch. Seen-set reads pin the
@@ -30,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +52,13 @@ from scrape_spark.functions.urlkeys import (
     url_key,
 )
 from scrape_spark.operators.bloom import build_bloom, probe_bloom
+from scrape_spark.operators.cuckoo import (
+    CUCKOO_SCHEMA,
+    build_cuckoo,
+    probe_cuckoo,
+    rebuild_flagged,
+    update_cuckoo,
+)
 from scrape_spark.operators.store import UrlStore
 from scrape_spark.plans.batch_extract import fetch_join, finalize_results
 from scrape_spark.schemas import FRONTIER_SCHEMA
@@ -66,6 +81,8 @@ class CrawlConfig:
     max_depth: int = 6
     n_buckets: int = 16
     use_bloom: bool = True
+    # "" derives from use_bloom; explicit values: "bloom" | "cuckoo" | "none"
+    seen_filter: str = ""
     bloom_bits_per_key: int = 10
     shuffle_partitions: int | None = None
     salt: int = 0x5CA1E
@@ -137,18 +154,73 @@ class Crawl:
             json.dump({"n_seeds": len(urls)}, f)
 
     # ---- seen-set probe ----------------------------------------------------
+    def _filter_kind(self) -> str:
+        return self.cfg.seen_filter or ("bloom" if self.cfg.use_bloom else "none")
+
     def _unseen(
-        self, frontier: DataFrame, seen_keys: DataFrame, bloom: DataFrame | None
+        self, frontier: DataFrame, seen_keys: DataFrame, pre_filter: DataFrame | None
     ) -> DataFrame:
-        """EXACT anti-join of frontier vs seen keys, with an optional Bloom
-        pre-filter that lets 'definitely unseen' rows skip the join."""
-        if bloom is None:
+        """EXACT anti-join of frontier vs seen keys, with an optional
+        Bloom/cuckoo pre-filter that lets 'definitely unseen' rows skip the
+        join (both filters are one-sided: no false negatives)."""
+        if pre_filter is None:
             return frontier.join(seen_keys, "key", "left_anti")
-        probed = probe_bloom(frontier, bloom, "key", self.cfg.n_buckets)
+        probe = probe_bloom if self._filter_kind() == "bloom" else probe_cuckoo
+        probed = probe(frontier, pre_filter, "key", self.cfg.n_buckets)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = maybe.join(seen_keys, "key", "left_anti")
         return definitely_new.unionByName(confirmed_new)
+
+    # ---- cuckoo filter maintenance ----------------------------------------
+    def _cuckoo_multiset(self, fresh_keys: DataFrame, attempted: DataFrame) -> DataFrame:
+        """The authoritative per-source key multiset the persistent filter
+        models: one copy per fresh store row, one per NON-self alias row
+        (requested→canonical redirects; self-aliases would double every key
+        for nothing), one per attempted row. Used for the initial build and
+        for rebuilding overflowed buckets."""
+        id_map = self.store.id_map.read()
+        alias_src = id_map.filter(
+            F.col("requested_id") != F.col("canonical_id")
+        ).select(F.col("requested_id").alias("key"))
+        return (
+            fresh_keys.select("key")
+            .unionByName(alias_src)
+            .unionByName(attempted.select("key"))
+        )
+
+    def _load_cuckoo(
+        self,
+        prev_dir: str,
+        committed: dict | None,
+        wm_now: float,
+        fresh_keys: DataFrame,
+        attempted: DataFrame,
+        store_snap,
+    ) -> DataFrame:
+        """Load the persistent filter and advance it to this epoch: apply
+        exactly-once expiry deletes over the committed watermark window,
+        rebuild any overflowed bucket from the authoritative multiset. First
+        epoch (no filter on disk) builds fresh."""
+        path = os.path.join(prev_dir, "seenfilter.parquet")
+        wm_prev = (committed or {}).get("seen_filter_wm")
+        if not os.path.exists(path) or wm_prev is None:
+            return build_cuckoo(
+                self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
+            )
+        ck = self.spark.read.schema(CUCKOO_SCHEMA).parquet(path)
+        # store rows whose TTL fell inside (wm_prev, wm_now]: delete their
+        # store-copy exactly once (watermarks are committed, so a crash
+        # replays the identical window)
+        all_store = self.store.urls.read(snapshot=store_snap)
+        expired_delta = all_store.filter(
+            (F.col("expires") > F.timestamp_seconds(F.lit(wm_prev)))
+            & (F.col("expires") <= F.timestamp_seconds(F.lit(wm_now)))
+        ).select("key")
+        ck = update_cuckoo(ck, inserts=None, deletes=expired_delta, n_buckets=self.cfg.n_buckets)
+        return rebuild_flagged(
+            ck, self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
+        )
 
     # ---- one epoch -----------------------------------------------------------
     def run_epoch(self, epoch: int) -> dict:
@@ -185,21 +257,42 @@ class Crawl:
             .unionByName(attempted.select("key"))
             .cache()
         )
-        # one Bloom build per epoch, rebuilt from the TTL-pruned store so
-        # expiry correctly removes membership
-        bloom = (
-            build_bloom(seen_keys, "key", cfg.n_buckets, cfg.bloom_bits_per_key).cache()
-            if cfg.use_bloom
-            else None
-        )
+        # pre-filter: Bloom is rebuilt per epoch from the TTL-pruned store
+        # (expiry removes membership via the rebuild); cuckoo is persistent
+        # and advanced incrementally (expiry removes membership via
+        # watermarked deletes — O(delta)/epoch instead of O(store)/epoch)
+        filt_kind = self._filter_kind()
+        wm_now = time.time()
+        if filt_kind == "bloom":
+            pre_filter = build_bloom(
+                seen_keys, "key", cfg.n_buckets, cfg.bloom_bits_per_key
+            ).cache()
+        elif filt_kind == "cuckoo":
+            pre_filter = self._load_cuckoo(
+                prev, committed, wm_now, fresh_keys, attempted, store_snap
+            ).cache()
+        else:
+            pre_filter = None
+        bloom = pre_filter
 
-        # 1. robots exclusion (RFC 9309 path-prefix disallow)
+        # 1. robots exclusion. Two rule-table shapes: parsed RFC 9309 rules
+        # (array<struct<plen,like>> from sources.robots.parse_robots — full
+        # allow/disallow longest-match precedence + wildcards) or the legacy
+        # plain disallow-prefix arrays.
         fr = frontier.join(F.broadcast(self.robots), "host", "left")
         path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
-        denied = F.exists(
-            F.coalesce(F.col("disallow"), F.array()),
-            lambda p: path.startswith(p),
-        )
+        fields = {f.name: f.dataType for f in self.robots.schema.fields}
+        dis_t = fields.get("disallow")
+        if isinstance(dis_t, T.ArrayType) and isinstance(dis_t.elementType, T.StructType):
+            from scrape_spark.sources.robots import denied_expr
+
+            allow = F.col("allow") if "allow" in fields else F.lit(None).cast(dis_t)
+            denied = denied_expr(path, F.col("disallow"), allow)
+        else:
+            denied = F.exists(
+                F.coalesce(F.col("disallow"), F.array()),
+                lambda p: path.startswith(p),
+            )
         fr = fr.withColumn("__denied", denied)
         robots_denied = fr.filter(F.col("__denied"))
         allowed = fr.filter(~F.col("__denied")).drop("__denied")
@@ -316,6 +409,26 @@ class Crawl:
         nxt = self._edir(epoch + 1)
         next_frontier.write.mode("overwrite").parquet(os.path.join(nxt, "frontier.parquet"))
         new_attempted.write.mode("overwrite").parquet(os.path.join(nxt, "attempted.parquet"))
+        if filt_kind == "cuckoo":
+            # insert this epoch's committed keys: one store-copy per merged
+            # row, one alias-copy per non-self redirect, one attempted-copy
+            # per new error — mirrors _cuckoo_multiset's source structure
+            ok = results.filter(F.col("error").isNull())
+            rk = url_key(F.col("parsed_url"))
+            inserts = (
+                ok.select("key")
+                .unionByName(
+                    ok.select(rk.alias("key"), F.col("key").alias("__c"))
+                    .filter(F.col("key").isNotNull() & (F.col("key") != F.col("__c")))
+                    .select("key")
+                )
+                .unionByName(
+                    errors.join(attempted, "key", "left_anti").select("key")
+                )
+            )
+            update_cuckoo(
+                pre_filter, inserts=inserts, n_buckets=cfg.n_buckets
+            ).write.mode("overwrite").parquet(os.path.join(nxt, "seenfilter.parquet"))
         edir = self._edir(epoch)
         host_metrics.write.mode("overwrite").parquet(os.path.join(edir, "metrics.parquet"))
         part_lineage.write.mode("overwrite").parquet(os.path.join(edir, "lineage.parquet"))
@@ -346,6 +459,8 @@ class Crawl:
             "store_snapshot": self.store.urls.current_snapshot(),
             "idmap_snapshot": self.store.id_map.current_snapshot(),
         }
+        if filt_kind == "cuckoo":
+            stats["seen_filter_wm"] = wm_now
         tmp = os.path.join(edir, "_COMMIT.json.tmp")
         with open(tmp, "w") as f:
             json.dump(stats, f)

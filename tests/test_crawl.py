@@ -47,7 +47,7 @@ def model():
     )
 
 
-def _mk_crawl(spark, tmpdir, pages, use_bloom=True):
+def _mk_crawl(spark, tmpdir, pages, use_bloom=True, seen_filter=""):
     store = UrlStore(spark, f"{tmpdir}/store", n_buckets=8)
     return Crawl(
         spark,
@@ -57,7 +57,7 @@ def _mk_crawl(spark, tmpdir, pages, use_bloom=True):
         robots_table(spark, N_HOSTS),
         CrawlConfig(
             epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
-            use_bloom=use_bloom, shuffle_partitions=4,
+            use_bloom=use_bloom, seen_filter=seen_filter, shuffle_partitions=4,
         ),
     )
 
@@ -131,6 +131,31 @@ def test_bloom_path_equals_exact_path(spark, tmp_path_factory, pages, model):
         assert _selected_tuples(spark, crawl, epoch) == [
             tuple(t) for t in model.selected_per_epoch[epoch]
         ]
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_cuckoo_path_equals_exact_path(spark, tmp_path_factory, pages, model):
+    """The incrementally-maintained cuckoo pre-filter must reproduce the
+    exact path's crawl bit-for-bit: same per-epoch selected tuples, same
+    final store keys. Also checks the persistent filter artifacts: one
+    seenfilter.parquet per committed epoch and a monotone watermark chain."""
+    import os
+
+    tmpdir = str(tmp_path_factory.mktemp("crawl_cuckoo"))
+    crawl = _mk_crawl(spark, tmpdir, pages, seen_filter="cuckoo")
+    stats = crawl.run(N_EPOCHS, seeds=seed_urls(N_HOSTS))
+    got = {r.key for r in crawl.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    wms = [s["seen_filter_wm"] for s in stats]
+    assert wms == sorted(wms)
+    for epoch in range(1, len(stats) + 1):
+        assert os.path.exists(
+            f"{crawl.state_dir}/epochs/e{epoch:05d}/seenfilter.parquet"
+        )
     shutil.rmtree(tmpdir, ignore_errors=True)
 
 

@@ -313,3 +313,42 @@ def test_feed_multiple_alternates_hreflang(spark):
         spark.createDataFrame([("https://ml.test/f", xml)], ["feed_url", "xml"])
     ).collect()[0]
     assert [i.link for i in row.items] == ["https://ml.test/de/artikel"]
+
+
+def test_feed_refresh_cadence(spark):
+    """feed_refresh semantics (migrations/00003_feed_refresh.sql): request
+    upserts with defaults, due = overdue-by-interval AND not idle, refresh
+    resets the clock, idle feeds drop out, re-request keeps cadence state."""
+    from scrape_spark.sources.feed_refresh import (
+        DEFAULT_IDLE_TIMEOUT,
+        DEFAULT_REFRESH_INTERVAL,
+        FEED_REFRESH_SCHEMA,
+        due_feeds,
+        record_refresh,
+        record_request,
+    )
+
+    now = 1_000_000
+    empty = spark.createDataFrame([], FEED_REFRESH_SCHEMA)
+    reqs = spark.createDataFrame([("a",), ("b",)], ["url"])
+    feeds = record_request(empty, reqs, now)
+    rows = {r.url: r for r in feeds.collect()}
+    assert rows["a"].last_request == now
+    assert rows["a"].last_refresh == 0
+    assert rows["a"].refresh_interval == DEFAULT_REFRESH_INTERVAL
+    # never-refreshed feeds are immediately due
+    assert {r.url for r in due_feeds(feeds, now + 1).collect()} == {"a", "b"}
+    # refresh a -> only b remains due
+    feeds2 = record_refresh(feeds, spark.createDataFrame([("a",)], ["url"]), now + 2)
+    assert {r.url for r in due_feeds(feeds2, now + 3).collect()} == {"b"}
+    # a re-enters once its interval elapses
+    assert {
+        r.url for r in due_feeds(feeds2, now + 2 + DEFAULT_REFRESH_INTERVAL).collect()
+    } == {"a", "b"}
+    # idle feeds (no request within idle_timeout) drop out entirely
+    assert due_feeds(feeds2, now + DEFAULT_IDLE_TIMEOUT + 10).count() == 0
+    # re-request bumps last_request but keeps refresh state
+    feeds3 = record_request(feeds2, spark.createDataFrame([("a",)], ["url"]), now + 100)
+    a3 = {r.url: r for r in feeds3.collect()}["a"]
+    assert a3.last_request == now + 100
+    assert a3.last_refresh == now + 2
