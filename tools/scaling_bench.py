@@ -39,15 +39,26 @@ n = pages.count()
 batch_extract(
     spark, pages.select("url").limit(50 * cores).repartition(cores), pages, store=None
 ).count()
-# steady-state throughput: min of 5 runs — the JVM warms in slowly (C2
-# compilation of parquet/Arrow paths) and sandbox timing is noisy; the
-# converged minimum is the honest steady-state number
+# steady-state throughput: iterate until the minimum stops improving
+# (plateau of 3) — the JVM warms in slowly (C2 compilation of
+# parquet/Arrow paths) and convergence takes a similar NUMBER of
+# executions at every width, so a fixed small count gives the wide level
+# (short iterations) systematically less total warm-in than the narrow
+# one. The plateau rule is symmetric: both levels are measured at their
+# steady state, which is what a long-running cluster job sees.
 best = None
-for _ in range(5):
+since_improve = 0
+for i in range(12):
     t0 = time.time()
     batch_extract(spark, pages.select("url"), pages, store=None).count()
     dt = time.time() - t0
-    best = dt if best is None or dt < best else best
+    if best is None or dt < best * 0.995:
+        best = min(best, dt) if best is not None else dt
+        since_improve = 0
+    else:
+        since_improve += 1
+    if i >= 4 and since_improve >= 3:
+        break
 print(json.dumps({{"cores": cores, "seconds": round(best, 3), "pages": n,
                    "throughput": round(n / best, 1)}}))
 """
