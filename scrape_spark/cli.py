@@ -87,6 +87,47 @@ def cmd_feed(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    """The north-rule crawl loop from the command line: seed → BFS epochs
+    with robots + politeness → store; per-epoch stats as JSON lines on
+    stdout. Re-invoking with the same --state resumes after the last
+    committed epoch."""
+    import json as _json
+
+    from scrape_spark.operators.frontier import Crawl, CrawlConfig
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.schemas import ROBOTS_SCHEMA
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(args.pages)
+    if args.robots_txt:
+        from scrape_spark.sources.robots import parse_robots
+
+        robots = parse_robots(
+            spark.read.parquet(args.robots_txt), user_agent=args.user_agent
+        )
+    elif args.robots:
+        robots = spark.read.parquet(args.robots)
+    else:
+        robots = spark.createDataFrame([], ROBOTS_SCHEMA)  # allow-all
+    crawl = Crawl(
+        spark,
+        args.state,
+        UrlStore(spark, args.store),
+        pages,
+        robots,
+        CrawlConfig(
+            epoch_seconds=args.epoch_seconds,
+            max_depth=args.max_depth,
+            seen_filter=args.seen_filter,
+        ),
+    )
+    seeds = list(args.seeds) or None
+    for stats in crawl.run(args.epochs, seeds=seeds):
+        print(_json.dumps(stats))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     from scrape_spark.operators.store import UrlStore
 
@@ -119,6 +160,25 @@ def build_parser() -> argparse.ArgumentParser:
     ma = sub.add_parser("maintain", help="expire + compact a store")
     ma.add_argument("--store", required=True)
     ma.set_defaults(fn=cmd_maintain)
+
+    cr = sub.add_parser("crawl", help="BFS crawl epochs → store (resumable)")
+    cr.add_argument("--pages", required=True, help="pages corpus parquet")
+    cr.add_argument("--state", required=True, help="crawl state/checkpoint dir")
+    cr.add_argument("--store", required=True, help="url store dir")
+    cr.add_argument("--robots", default=None, help="rules parquet (host, disallow, crawl_delay)")
+    cr.add_argument(
+        "--robots-txt", default=None, help="raw robots parquet (host, robots_txt) — RFC 9309 parsed"
+    )
+    cr.add_argument("--user-agent", default="scrape-spark", help="UA for robots group selection")
+    cr.add_argument("--epochs", type=int, default=4)
+    cr.add_argument("--epoch-seconds", type=float, default=10.0)
+    cr.add_argument("--max-depth", type=int, default=6)
+    cr.add_argument(
+        "--seen-filter", default="", choices=["", "bloom", "cuckoo", "none"],
+        help="seen-set pre-filter (default bloom)",
+    )
+    cr.add_argument("seeds", nargs="*")
+    cr.set_defaults(fn=cmd_crawl)
     return p
 
 

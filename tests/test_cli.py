@@ -81,3 +81,34 @@ def test_feed_links(spark, corpus_path, capsys, tmp_path):
     rc = main(["feed", "--pages", fp, feed_url])
     assert rc == 0
     assert capsys.readouterr().out.splitlines() == [page_url(0, 1), page_url(0, 2)]
+
+
+def test_crawl_subcommand_runs_and_resumes(spark, corpus_path, capsys, tmp_path):
+    """`cli crawl`: seeds → epochs → store, JSON-lines stats on stdout;
+    robots given as raw robots.txt (RFC 9309 parse path); a second
+    invocation with the same --state resumes instead of restarting."""
+    from scrape_spark.sources.pages import host_name
+
+    robots_pq = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(host_name(h), "User-agent: *\nDisallow: /private/\nCrawl-delay: 0.5\n")
+         for h in range(3)],
+        "host string, robots_txt string",
+    ).write.mode("overwrite").parquet(robots_pq)
+    argv = [
+        "crawl", "--pages", corpus_path,
+        "--state", str(tmp_path / "state"), "--store", str(tmp_path / "store"),
+        "--robots-txt", robots_pq, "--epochs", "2", "--epoch-seconds", "4",
+        "--seen-filter", "cuckoo",
+        page_url(0, 0), page_url(1, 0),
+    ]
+    assert main(argv) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    stats = [json.loads(l) for l in lines]
+    assert [s["epoch"] for s in stats] == [0, 1]
+    assert stats[0]["selected"] > 0
+    # resume: same state dir, higher epoch target → continues at epoch 2
+    argv[argv.index("--epochs") + 1] = "3"
+    assert main(argv) == 0
+    more = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert [s["epoch"] for s in more] == [2]
