@@ -33,6 +33,14 @@ from the store's own expired rows, which were all inserted.
 All per-bucket kernels are numpy over Arrow batches (applyInPandas /
 cogroup), mirroring bloom.py: no row ever pairs with a foreign bucket's
 table, so probe/update shuffle only by the same pmod the store itself uses.
+
+Sizing at 10^10 keys: table bytes ≈ keys × 8 B/slot-pair ÷ load. At the
+default 0.5 target load that is ~16 B/key ⇒ 160 GB total — so `n_buckets`
+must scale with the frontier (e.g. 4096 buckets ⇒ ~40 MB/bucket task,
+comfortably executor-sized); `n_buckets` is a parameter everywhere here
+and in CrawlConfig precisely for that. Per-epoch maintenance shuffles only
+the DELTA keys into those buckets; the tables themselves live in the
+epoch checkpoint and stream through the cogroup one bucket per task.
 """
 
 from __future__ import annotations
