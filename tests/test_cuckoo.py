@@ -175,3 +175,101 @@ def test_overflow_flags_and_rebuild_restores(spark):
     )
     updated.unpersist()
     rebuilt.unpersist()
+
+
+def test_watermark_expiry_deletes_exactly_once(spark, tmp_path_factory):
+    """The crawl's _load_cuckoo must delete each store key's filter copy
+    exactly once — in the epoch whose committed watermark window covers its
+    `expires` — and never touch keys expiring outside the window. A second
+    pass over a later window must not re-delete (the cuckoo-delete hazard:
+    a duplicate delete could evict a colliding survivor's fingerprint)."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.frontier import Crawl, CrawlConfig
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.sources.pages import robots_table, synth_pages
+
+    tmpdir = str(tmp_path_factory.mktemp("cuckoo_wm"))
+    store = UrlStore(spark, f"{tmpdir}/store", n_buckets=4)
+    t0 = time.time()
+    # 200 rows: even keys expire inside window 1 (t0+5), odd far future
+    rows = [
+        {
+            "url": f"https://wm.test/{i}",
+            "parsed_url": f"https://wm.test/{i}",
+            "original_url": f"https://wm.test/{i}",
+            "error": None,
+            "fetch_time": pd.Timestamp.utcfromtimestamp(t0).tz_localize(None),
+            "expires": pd.Timestamp.utcfromtimestamp(
+                t0 + (5 if i % 2 == 0 else 100000)
+            ).tz_localize(None),
+        }
+        for i in range(200)
+    ]
+    from scrape_spark.functions.urlkeys import url_key
+    from scrape_spark.schemas import URL_STORE_SCHEMA
+
+    # key = url_key(parsed_url) ⇒ self-referential aliases, which the
+    # filter multiset excludes — the 200 filter copies are store copies
+    results = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "key", url_key(F.col("url"))
+    )
+    for f in URL_STORE_SCHEMA.fields:
+        if f.name not in results.columns:
+            results = results.withColumn(f.name, F.lit(None).cast(f.dataType))
+    results = results.cache()
+    store.merge(results)
+
+    crawl = Crawl(
+        spark,
+        f"{tmpdir}/state",
+        store,
+        synth_pages(spark, 2, 5),
+        robots_table(spark, 2),
+        CrawlConfig(n_buckets=4, seen_filter="cuckoo"),
+    )
+    fresh = results.select("key")
+    att = results.select("key").limit(0)
+    prev = crawl._edir(0)
+    os.makedirs(prev, exist_ok=True)
+    # initial build (all 200 fresh at t0) persisted like an epoch commit
+    build = crawl._load_cuckoo(prev, None, t0, fresh, att, None)
+    build.write.mode("overwrite").parquet(os.path.join(prev, "seenfilter.parquet"))
+
+    def occupancy(ck_df):
+        import numpy as np
+
+        return sum(
+            (np.frombuffer(r["table"], dtype=np.uint16) != 0).sum()
+            for r in ck_df.collect()
+        )
+
+    base = spark.read.parquet(os.path.join(prev, "seenfilter.parquet"))
+    assert occupancy(base) == 200
+    # window 1 covers the even keys' expiry → exactly their 100 copies go
+    after1 = crawl._load_cuckoo(
+        prev, {"seen_filter_wm": t0}, t0 + 10, fresh, att, None
+    ).cache()
+    assert occupancy(after1) == 100
+    from scrape_spark.operators.cuckoo import probe_cuckoo
+
+    odd = results.filter(
+        F.col("expires") > F.timestamp_seconds(F.lit(t0 + 50.0))
+    ).select("key")
+    assert (
+        probe_cuckoo(odd, after1, "key", n_buckets=4)
+        .filter(~F.col("maybe_seen"))
+        .count()
+        == 0
+    )
+    after1.write.mode("overwrite").parquet(os.path.join(prev, "seenfilter.parquet"))
+    # window 2 (t0+10, t0+20] contains no expiries → NOTHING is re-deleted
+    after2 = crawl._load_cuckoo(
+        prev, {"seen_filter_wm": t0 + 10}, t0 + 20, fresh, att, None
+    )
+    assert occupancy(after2) == 100
+    after1.unpersist()
