@@ -68,12 +68,18 @@ _MAX_KICKS = 500
 
 
 def _fingerprints(keys: np.ndarray, n_slots: int):
-    """fp (nonzero uint16), i1, i2 (int64 in [0, n_slots)) per key."""
+    """fp (nonzero uint16), i1, i2 (int64 in [0, n_slots)) per key.
+
+    i1 comes from h1's LOW bits (independent of fp, which takes h1's top 16
+    bits). It must NOT come from h2: bloom._mix forces h2 odd (a
+    double-hashing step requirement there), so ``h2 & mask`` would always be
+    odd — odd rows carrying ~2x load, silently doubling the table to
+    converge and hitting the eviction wall far below the target load."""
     h1, h2 = _mix(keys)
     fp = (h1 >> np.uint64(48)).astype(np.uint16)
     fp[fp == 0] = np.uint16(0x5BD1)  # 0 marks an empty slot
     mask = np.uint64(n_slots - 1)
-    i1 = (h2 & mask).astype(np.int64)
+    i1 = (h1 & mask).astype(np.int64)
     i2 = i1 ^ (((fp.astype(np.uint64) * _FPH) >> np.uint64(32)) & mask).astype(np.int64)
     return fp, i1, i2
 

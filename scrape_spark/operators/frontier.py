@@ -201,7 +201,12 @@ class Crawl:
         """Load the persistent filter and advance it to this epoch: apply
         exactly-once expiry deletes over the committed watermark window,
         rebuild any overflowed bucket from the authoritative multiset. First
-        epoch (no filter on disk) builds fresh."""
+        epoch (no filter on disk) builds fresh.
+
+        ``fresh_keys`` MUST be cut at the committed watermark ``wm_now``
+        (``expires > wm_now``), never at query-execution time: the insert
+        set and the delete windows have to partition the timeline
+        consistently or deletes go unbalanced (see run_epoch)."""
         path = os.path.join(prev_dir, "seenfilter.parquet")
         wm_prev = (committed or {}).get("seen_filter_wm")
         if not os.path.exists(path) or wm_prev is None:
@@ -209,14 +214,24 @@ class Crawl:
                 self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
             )
         ck = self.spark.read.schema(CUCKOO_SCHEMA).parquet(path)
-        # store rows whose TTL fell inside (wm_prev, wm_now]: delete their
-        # store-copy exactly once (watermarks are committed, so a crash
-        # replays the identical window)
-        all_store = self.store.urls.read(snapshot=store_snap)
-        expired_delta = all_store.filter(
-            (F.col("expires") > F.timestamp_seconds(F.lit(wm_prev)))
-            & (F.col("expires") <= F.timestamp_seconds(F.lit(wm_now)))
-        ).select("key")
+        # store row versions whose TTL fell inside (wm_prev, wm_now]: delete
+        # their filter copy exactly once (watermarks are committed, so a
+        # crash replays the identical window). Manifest-stat pruned: only
+        # files whose recorded [min,max] expires intersects the window are
+        # opened — FINDING the delta is now ∝ delta files, not O(store),
+        # making the filter's cost-∝-delta claim true end-to-end. The scan
+        # is raw (unresolved): the filter holds one copy per committed
+        # generation, so each generation's expiry is deleted on its own.
+        expired_delta = (
+            self.store.urls.read_in_range(
+                "expires", wm_prev, wm_now, snapshot=store_snap
+            )
+            .filter(
+                (F.col("expires") > F.timestamp_seconds(F.lit(wm_prev)))
+                & (F.col("expires") <= F.timestamp_seconds(F.lit(wm_now)))
+            )
+            .select("key")
+        )
         ck = update_cuckoo(ck, inserts=None, deletes=expired_delta, n_buckets=self.cfg.n_buckets)
         return rebuild_flagged(
             ck, self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
@@ -268,8 +283,18 @@ class Crawl:
                 seen_keys, "key", cfg.n_buckets, cfg.bloom_bits_per_key
             ).cache()
         elif filt_kind == "cuckoo":
+            # the filter's insert multiset and its expiry-delete windows must
+            # cut the timeline at the SAME clock — the committed watermark.
+            # Cutting builds/rebuilds at current_timestamp() (query-execution
+            # time) would admit rows whose expires falls between wm_now and
+            # execution into a later delete window without ever inserting
+            # them: deleting a never-inserted key can strip a colliding live
+            # key's copy (false negative — the one property the crawl needs).
+            cuckoo_fresh = fresh_store.filter(
+                F.col("expires") > F.timestamp_seconds(F.lit(wm_now))
+            ).select("key")
             pre_filter = self._load_cuckoo(
-                prev, committed, wm_now, fresh_keys, attempted, store_snap
+                prev, committed, wm_now, cuckoo_fresh, attempted, store_snap
             ).cache()
         else:
             pre_filter = None

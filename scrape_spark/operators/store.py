@@ -140,6 +140,7 @@ class ManifestTable:
         n_buckets: int,
         order_col: str | None = None,
         io: FileIO | None = None,
+        stats_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.root = root
@@ -148,6 +149,11 @@ class ManifestTable:
         self.n_buckets = n_buckets
         self.order_col = order_col
         self.io = io or LocalFileIO()
+        # columns whose per-file min/max are recorded in the manifest at
+        # commit time (read from the parquet footer the commit just wrote —
+        # zero extra scan). Range queries (expiry windows, maintenance) prune
+        # to intersecting files without opening anything else.
+        self.stats_cols = tuple(stats_cols)
         self.io.makedirs(os.path.join(root, "_manifests"))
         self.io.makedirs(os.path.join(root, "data"))
 
@@ -173,6 +179,32 @@ class ManifestTable:
                 for e in fl
             ]
         return man
+
+    def commit_metas_between(
+        self, newer: int | None, older: int | None
+    ) -> list[dict] | None:
+        """Metas of the commits strictly after ``older`` up to and including
+        ``newer``, walking manifest parent pointers (newest first). Returns
+        None when the walk cannot reach ``older`` (unknown/diverged history)
+        — callers treat that as 'foreign commits present'. Used to detect
+        writers other than the one maintaining an incremental artifact (the
+        crawl's persistent seen-filter)."""
+        metas: list[dict] = []
+        cur = newer
+        seen_guard = 0
+        while cur is not None and cur != older:
+            try:
+                man = json.loads(self.io.read_text(self._manifest_path(cur)))
+            except (OSError, ValueError):
+                return None
+            metas.append(man.get("meta") or {})
+            cur = man.get("parent")
+            seen_guard += 1
+            if seen_guard > 100_000:  # corrupt parent cycle
+                return None
+        if cur != older:
+            return None
+        return metas
 
     def snapshots(self) -> list[int]:
         d = os.path.join(self.root, "_manifests")
@@ -253,10 +285,54 @@ class ManifestTable:
         )
 
     # -- write ----------------------------------------------------------------
+    def _file_stats(self, path: str) -> dict[str, list] | None:
+        """Per-file min/max of ``stats_cols``, read from the parquet footer
+        (row-group statistics — no data pages touched). Timestamps are stored
+        as UTC epoch-seconds floats (session TZ is pinned to UTC). Returns
+        None when any column lacks usable stats (readers then treat the file
+        as intersecting every range — conservative)."""
+        if not self.stats_cols:
+            return None
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path).metadata
+            names = [md.schema.column(i).path for i in range(md.num_columns)]
+            out: dict[str, list] = {}
+            for col in self.stats_cols:
+                if col not in names:
+                    return None
+                ci = names.index(col)
+                mins: list = []
+                maxs: list = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if not mins:
+                    return None
+
+                def _num(v):
+                    if isinstance(v, datetime.datetime):
+                        if v.tzinfo is None:
+                            v = v.replace(tzinfo=datetime.timezone.utc)
+                        return v.timestamp()
+                    return v
+
+                out[col] = [_num(min(mins)), _num(max(maxs))]
+            return out
+        except Exception:  # pragma: no cover - footer unreadable ⇒ no stats
+            return None
+
     def _write_files(self, df: DataFrame, seq: int) -> dict[str, list[dict]]:
         """Write df (must carry BUCKET_COL) as one file set; return
-        bucket → [{path, bytes, seq}] with sizes recorded NOW (commit-time is
-        the only moment the table layer ever stats a data file)."""
+        bucket → [{path, bytes, seq, stats}] with sizes and column min/max
+        recorded NOW (commit-time is the only moment the table layer ever
+        stats a data file or opens a footer)."""
         out_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         (
             df.repartition(BUCKET_COL)
@@ -275,6 +351,7 @@ class ManifestTable:
                     "path": os.path.join(sub, f),
                     "bytes": self.io.size(os.path.join(sub, f)),
                     "seq": seq,
+                    "stats": self._file_stats(os.path.join(sub, f)),
                 }
                 for f in self.io.listdir(sub)
                 if f.endswith(".parquet")
@@ -383,6 +460,50 @@ class ManifestTable:
         )
         return sorted(r.b for r in rows)
 
+    def files_in_range(
+        self,
+        col: str,
+        lo: float | None,
+        hi: float | None,
+        snapshot: int | None = None,
+    ) -> list[dict]:
+        """Manifest entries whose recorded [min, max] for ``col`` intersects
+        the half-open window (lo, hi] — lo/hi None ⇒ unbounded. Entries
+        without stats (legacy manifests, unreadable footers) are always
+        included: pruning is an optimization, never a correctness gate."""
+        man = self._load_manifest(snapshot)
+        out = []
+        for _b, fl in man["files"].items():
+            for e in fl:
+                rng = (e.get("stats") or {}).get(col)
+                if rng is None:
+                    out.append(e)
+                    continue
+                mn, mx = rng
+                if (lo is None or mx > lo) and (hi is None or mn <= hi):
+                    out.append(e)
+        return out
+
+    def read_in_range(
+        self,
+        col: str,
+        lo: float | None,
+        hi: float | None,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """RAW (unresolved) scan of only the files whose ``col`` range
+        intersects (lo, hi] — the per-epoch expiry-delta shape: cost ∝ files
+        actually holding rows in the window, never O(store). Rows are row
+        *versions* (one per delta generation), deliberately unresolved: the
+        cuckoo seen-filter holds one copy per committed generation, so each
+        generation's expiry must be seen exactly once for delete accounting
+        to balance. Callers still apply the exact window filter on the rows
+        (file stats are file-granular)."""
+        paths = [e["path"] for e in self.files_in_range(col, lo, hi, snapshot)]
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
     def bytes_in_buckets(self, buckets: list[int] | None = None) -> int:
         """On-disk parquet bytes of the given buckets in the current snapshot
         (all buckets when None) — answered purely from manifest metadata
@@ -427,6 +548,11 @@ class UrlStore:
             "key",
             n_buckets,
             order_col="fetch_time",
+            # per-file expires ranges in the manifest: expiry-window scans
+            # (cuckoo delete deltas, maintenance) prune to intersecting files
+            # — the Spark analog of the reference's (expires DESC, ...) index
+            # (database/sqlite/migrations/00001_init.sql:30-33)
+            stats_cols=("expires",),
         )
         self.id_map = ManifestTable(
             spark,
@@ -567,28 +693,58 @@ class UrlStore:
         self.id_map.truncate()
 
     # -- maintenance (S12): physical expiry + delta compaction -------------------
-    def maintain(self) -> int:
-        """Physically drop expired rows AND fold all delta generations into
-        one resolved file set per table (the compaction half of
-        merge-on-read — run this on a cadence to bound read-side
-        resolution). The urls overwrite subsumes compaction; id_map (no
-        expiry column) gets a pure compact."""
-        live = self.urls.read().filter(is_fresh("expires"))
-        snap = self.urls.overwrite(live, meta={"op": "maintain"})
-        self.id_map.compact(meta={"op": "maintain"})
+    def maintain(self, meta: dict[str, Any] | None = None) -> int:
+        """Physically drop expired rows AND fold delta generations into one
+        resolved file set (the compaction half of merge-on-read — run on a
+        cadence to bound read-side resolution). Manifest-stat pruned: only
+        buckets that provably NEED work are rewritten — a bucket whose every
+        file is all-fresh by its recorded min(expires) and single-generation
+        carries over untouched, so maintenance cost ∝ affected buckets, not
+        store size. id_map (no expiry column) gets a pure compact."""
+        import time as _time
+
+        now = _time.time()
+        man = self.urls._load_manifest()
+        touched: list[int] = []
+        for b, fl in man["files"].items():
+            multi_gen = len({e["seq"] for e in fl}) > 1
+            has_expired = any(
+                (e.get("stats") or {}).get("expires") is None
+                or (e["stats"]["expires"][0] <= now)
+                for e in fl
+            )
+            if multi_gen or has_expired:
+                touched.append(int(b))
+        if touched:
+            live = self.urls.read(buckets=touched).filter(is_fresh("expires"))
+            snap = self.urls.replace_buckets(
+                live, touched, meta=meta or {"op": "maintain"}
+            )
+        else:
+            cur = self.urls.current_snapshot()
+            snap = cur if cur is not None else self.urls.truncate(meta)
+        self.id_map.compact(meta=meta or {"op": "maintain"})
         return snap
 
     # -- stats (S13) -------------------------------------------------------------
     def stats(self) -> dict[str, int]:
-        # one Spark action per table: total + fresh in a single aggregate
-        row = self.urls.read().agg(
-            F.count(F.lit(1)).alias("t"),
-            F.sum(is_fresh("expires").cast("int")).alias("f"),
+        # ONE Spark action for all three counts: union both resolved tables
+        # as tagged 0/1 columns and take a single aggregate
+        u = self.urls.read().select(
+            F.lit(1).alias("t"),
+            is_fresh("expires").cast("int").alias("f"),
+            F.lit(0).alias("m"),
+        )
+        m = self.id_map.read().select(
+            F.lit(0).alias("t"), F.lit(0).alias("f"), F.lit(1).alias("m")
+        )
+        row = u.unionByName(m).agg(
+            F.sum("t").alias("t"), F.sum("f").alias("f"), F.sum("m").alias("m")
         ).collect()[0]
         cur = self.urls.current_snapshot()
         return {
-            "total_rows": int(row.t),
+            "total_rows": int(row.t or 0),
             "fresh_rows": int(row.f or 0),
-            "id_map_rows": self.id_map.read().count(),
+            "id_map_rows": int(row.m or 0),
             "snapshot": cur if cur is not None else -1,
         }

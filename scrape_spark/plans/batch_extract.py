@@ -73,17 +73,28 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Catalyst's sizeInBytes for stat-less plans (in-memory frames, missing
+# statistics) defaults to Long.MaxValue — such an estimate means "unknown",
+# not "huge", and must never qualify a plan for the broadcast arm.
+IMPLAUSIBLE_SIZE_BYTES = 1 << 60
+
+
 def choose_probe_strategy(
     corpus_bytes: int | None, probe_rows: int | None
 ) -> bool:
     """True ⇒ use the decomposed zero-corpus-shuffle plan (broadcast the
     request batch, stream the corpus in place); False ⇒ plain left join.
     The decision the crawl epoch / CLI no longer has to know about: corpus
-    big enough that its shuffle would cross a network, AND the probe side
-    verifiably bounded."""
-    if corpus_bytes is None or corpus_bytes < CORPUS_SHUFFLE_BYTES:
+    PROVABLY big enough that its shuffle would cross a network, AND the
+    probe side PROVABLY bounded. Unknowns on either side fall back to the
+    plain join — an unknown probe size must never become an unbounded
+    broadcast (driver/executor OOM), and an implausible Catalyst estimate
+    (stat-less plan ⇒ Long.MaxValue) reads as unknown, not large."""
+    if corpus_bytes is None or corpus_bytes >= IMPLAUSIBLE_SIZE_BYTES:
         return False
-    if probe_rows is not None and probe_rows > MAX_BROADCAST_PROBE_ROWS:
+    if corpus_bytes < CORPUS_SHUFFLE_BYTES:
+        return False
+    if probe_rows is None or probe_rows > MAX_BROADCAST_PROBE_ROWS:
         return False
     return True
 

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) writes NO parquet column statistics;
+        # standard TIMESTAMP_MICROS does — the store's manifest records
+        # per-file expires min/max from those footers to prune expiry-window
+        # scans (and INT96 is deprecated by the parquet spec anyway)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

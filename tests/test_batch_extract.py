@@ -243,7 +243,11 @@ def test_auto_probe_strategy_gate(spark, pages, monkeypatch):
     assert bx.choose_probe_strategy(
         bx.CORPUS_SHUFFLE_BYTES, bx.MAX_BROADCAST_PROBE_ROWS + 1
     ) is False                                                     # unbounded batch
-    assert bx.choose_probe_strategy(bx.CORPUS_SHUFFLE_BYTES, None) is True
+    # unknown probe size must NOT broadcast (an unhinted call site would
+    # otherwise ship an unboundedly large batch), and Catalyst's stat-less
+    # Long.MaxValue estimate reads as unknown corpus, not huge corpus
+    assert bx.choose_probe_strategy(bx.CORPUS_SHUFFLE_BYTES, None) is False
+    assert bx.choose_probe_strategy(1 << 62, 100) is False
 
     req = bx.prepare_requests(
         _req_df(spark, [page_url(0, 1), "https://missing.test/x"])

@@ -90,6 +90,34 @@ def test_duplicate_copies_then_single_delete():
     assert _probe_np(table, k).all()  # second copy still present
 
 
+def test_primary_index_uniform():
+    """Regression (round-4 ADVICE): i1 must be drawn from unbiased hash bits.
+    The old ``h2 & mask`` derivation was always ODD (bloom's h2 is forced odd
+    for double hashing), so odd rows carried ~2x load: the builder silently
+    doubled n_slots to converge and incremental inserts hit the eviction wall
+    far below the documented 0.5 target load."""
+    k = _keys(100_000)
+    n_slots = 1 << 14
+    _, i1, i2 = _fingerprints(k, n_slots)
+    even_frac = (i1 % 2 == 0).mean()
+    assert 0.48 < even_frac < 0.52, even_frac
+    # chi-square-style bound over 64 coarse index bins (~1562 expected/bin)
+    for idx in (i1, i2):
+        counts = np.bincount(idx >> 8, minlength=64)
+        assert counts.min() > 0.9 * counts.mean(), counts.min()
+        assert counts.max() < 1.1 * counts.mean(), counts.max()
+
+
+def test_build_converges_at_sized_slots():
+    """With unbiased i1 the builder must converge at the documented sizing
+    (no silent table doubling = the ~16 B/key docstring claim holds)."""
+    from scrape_spark.operators.cuckoo import _sized_slots
+
+    k = _keys(200_000)
+    n_slots, _ = _build_table(k)
+    assert n_slots == _sized_slots(len(k))
+
+
 def test_insert_overflow_reports_full():
     k = _keys(64)
     table = np.zeros((2, SLOTS_PER_BUCKET), dtype=np.uint16)  # capacity 8

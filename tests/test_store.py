@@ -336,3 +336,112 @@ def test_manifest_table_routes_fs_ops_through_io_seam(spark, tmp_path):
     io.calls.clear()
     assert t.bytes_in_buckets() > 0
     assert not any(op == "size" for op, _ in io.calls)
+
+
+# ---- manifest file stats + range pruning (round-4) ---------------------------
+
+
+def test_manifest_records_expires_file_stats(spark, store):
+    e1 = dt.datetime(2030, 6, 1)
+    _merge(spark, store, [_result_row("https://example.com/st1", expires=e1)])
+    man = store.urls._load_manifest()
+    entries = [e for fl in man["files"].values() for e in fl]
+    assert entries
+    for e in entries:
+        rng = (e.get("stats") or {}).get("expires")
+        assert rng is not None
+        expected = e1.replace(tzinfo=dt.timezone.utc).timestamp()
+        assert rng[0] == pytest.approx(expected, abs=1.0)
+        assert rng[1] == pytest.approx(expected, abs=1.0)
+
+
+def test_files_in_range_prunes_listing(spark, store):
+    """Listing-level check (VERDICT r3 #3): files whose recorded expires
+    range lies outside the window must not appear — and therefore are never
+    opened by read_in_range."""
+    early = dt.datetime(2030, 1, 1)
+    late = dt.datetime(2040, 1, 1)
+    _merge(spark, store, [
+        _result_row(f"https://example.com/early{i}", expires=early) for i in range(20)
+    ])
+    _merge(spark, store, [
+        _result_row(f"https://example.com/late{i}", expires=late) for i in range(20)
+    ])
+    t_early = early.replace(tzinfo=dt.timezone.utc).timestamp()
+    t_late = late.replace(tzinfo=dt.timezone.utc).timestamp()
+    # window covering only the late batch → only seq-1 files
+    hits = store.urls.files_in_range("expires", t_late - 3600, t_late + 3600)
+    assert hits and all(e["seq"] == 1 for e in hits)
+    # window covering only the early batch → only seq-0 files
+    hits0 = store.urls.files_in_range("expires", t_early - 3600, t_early + 3600)
+    assert hits0 and all(e["seq"] == 0 for e in hits0)
+    # window covering neither → nothing listed, nothing read
+    assert store.urls.files_in_range("expires", t_late + 7200, t_late + 9999) == []
+    assert store.urls.read_in_range(
+        "expires", t_late + 7200, t_late + 9999
+    ).count() == 0
+    # rows come back only from intersecting files
+    got = {r.parsed_url for r in store.urls.read_in_range(
+        "expires", t_late - 3600, t_late + 3600).select("parsed_url").collect()}
+    assert got == {f"https://example.com/late{i}" for i in range(20)}
+    # an entry without stats (legacy manifest) is conservatively included
+    man = store.urls._load_manifest()
+    victim = next(iter(man["files"].values()))[0]
+    victim.pop("stats", None)
+    import json as _json
+    store.urls.io.write_text_atomic(
+        store.urls._manifest_path(man["snapshot"]), _json.dumps(man)
+    )
+    assert any(
+        e.get("stats") is None
+        for e in store.urls.files_in_range("expires", t_late + 7200, t_late + 9999)
+    )
+
+
+def test_maintain_prunes_untouched_buckets(spark, store):
+    """Maintenance must rewrite ONLY buckets that need work (expired rows or
+    multiple delta generations); all-fresh single-generation buckets carry
+    their file entries over byte-identically."""
+    fresh_urls = [f"https://example.com/mf{i}" for i in range(60)]
+    _merge(spark, store, [
+        _result_row(u, expires=dt.datetime(2099, 1, 1)) for u in fresh_urls
+    ])
+    # one expired row → one (or few) buckets need expiry work
+    _merge(spark, store, [
+        _result_row("https://example.com/gone", expires=dt.datetime(2020, 1, 1))
+    ])
+    man_before = store.urls._load_manifest()
+    dirty = {
+        b for b, fl in man_before["files"].items()
+        if len({e["seq"] for e in fl}) > 1
+        or any((e.get("stats") or {}).get("expires", [0])[0] <= dt.datetime(
+            2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() for e in fl)
+    }
+    assert 0 < len(dirty) < len(man_before["files"])
+    store.maintain()
+    man_after = store.urls._load_manifest()
+    for b, fl in man_before["files"].items():
+        if b not in dirty:
+            assert [e["path"] for e in man_after["files"][b]] == [e["path"] for e in fl]
+    # expired row physically gone, clean rows intact
+    rows = {r.parsed_url for r in store.urls.read().select("parsed_url").collect()}
+    assert "https://example.com/gone" not in rows
+    assert set(fresh_urls) <= rows
+    assert store.urls.delta_generations() == 1
+
+
+def test_stats_is_single_action(spark, store):
+    _merge(spark, store, [
+        _result_row(f"https://example.com/sj{i}", expires=dt.datetime(2099, 1, 1))
+        for i in range(10)
+    ])
+
+    def njobs():
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+
+    before = njobs()
+    s = store.stats()
+    delta = njobs() - before
+    assert s["total_rows"] == 10 and s["fresh_rows"] == 10 and s["id_map_rows"] == 10
+    # one action; AQE may split the union+aggregate into a couple of stages
+    assert delta <= 3, delta
