@@ -17,7 +17,11 @@ that was inserted and not deleted always probes positive — no false
 negatives), "maybe seen" goes through the exact anti-join confirm. A missed
 *delete* is therefore harmless (the exact confirm resolves it); a missed
 *insert* would be a correctness bug, so the crawl inserts every key it
-commits, unconditionally.
+commits, unconditionally. Corollary: the filter is SINGLE-WRITER — it
+models only keys the owning crawl committed. The crawl's loader detects
+foreign store commits (manifest parent-chain walk between epoch pins) and
+falls back to a full rebuild rather than advance a filter that is missing
+inserts (frontier._load_cuckoo).
 
 Design (standard partial-key cuckoo, Fan et al. 2014, public knowledge):
 one table per key bucket (`pmod(key, n_buckets)`); each table is

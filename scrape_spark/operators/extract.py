@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-EXTRACT_SPEC_VERSION = 2  # v2: readability-style fallback for article-less pages
+# v2: readability-style fallback for article-less pages
+# v3: attribute-order/quote-insensitive <meta> parsing; <time datetime> and
+#     JSON-LD datePublished date fallbacks (go-trafilatura tolerance,
+#     fetch/trafilatura/fetcher.go:108-135). v2 outputs are byte-stable —
+#     v3 only widens what real-world-messy pages yield.
+EXTRACT_SPEC_VERSION = 3
 
 # Output columns appended by the extractor.
 EXTRACT_FIELDS = [
@@ -51,9 +56,6 @@ EXTRACT_FIELDS = [
     T.StructField("extract_error", T.StringType(), True),
 ]
 
-_META_NAME = r'<meta\s+name="{k}"\s+content="([^"]*)"'
-_META_PROP = r'<meta\s+property="{k}"\s+content="([^"]*)"'
-
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
              ("&nbsp;", " "), ("&copy;", "©"), ("&amp;", "&")]  # &amp; LAST
 
@@ -71,8 +73,37 @@ def _unescape(s: pd.Series) -> pd.Series:
     return out
 
 
-def _meta(h: pd.Series, pattern: str, key: str) -> pd.Series:
-    return _unescape(h.str.extract(pattern.format(k=re.escape(key)), expand=False))
+def _extract2(h: pd.Series, pattern: str) -> pd.Series:
+    """Extract from a pattern whose value is captured by ONE of two groups
+    (double- vs single-quoted alternative); coalesce them. ``where`` (not
+    fillna) keeps object dtype — fillna downcasts an all-NaN object column
+    to float64, which breaks downstream ``.str`` ops."""
+    df = h.str.extract(pattern, expand=True)
+    return df[0].where(df[0].notna(), df[1]).astype(object)
+
+
+def _meta(h: pd.Series, attr: str, key: str) -> pd.Series:
+    """<meta {attr}="{key}" ... content="...">, tolerant the way real pages
+    demand (go-trafilatura uses a DOM walk, fetcher.go:108-135; this regex
+    pass accepts the same inputs): attributes in EITHER order (content may
+    precede name/property), single or double quotes, other attributes
+    between, any case. The reversed-order pattern runs only on rows the
+    common order missed (minority pass)."""
+    k = re.escape(key)
+    pat_a = (
+        rf'(?is)<meta\b[^>]*?\b{attr}\s*=\s*["\']{k}["\']'
+        rf'[^>]*?\bcontent\s*=\s*(?:"([^"]*)"|\'([^\']*)\')'
+    )
+    v = _extract2(h, pat_a)
+    need = v.isna()
+    if need.any():
+        pat_b = (
+            rf'(?is)<meta\b[^>]*?\bcontent\s*=\s*(?:"([^"]*)"|\'([^\']*)\')'
+            rf'[^>]*?\b{attr}\s*=\s*["\']{k}["\']'
+        )
+        v = v.copy()
+        v[need] = _extract2(h[need], pat_b)
+    return _unescape(v)
 
 
 def extract_batch(html: pd.Series) -> pd.DataFrame:
@@ -94,16 +125,31 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     title = _unescape(
         head.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
     ).str.strip()
-    canonical = _meta(head, _META_PROP, "og:url")
-    description = _meta(head, _META_NAME, "description")
-    sitename = _meta(head, _META_PROP, "og:site_name")
-    author = _meta(head, _META_NAME, "author")
-    image = _meta(head, _META_PROP, "og:image")
-    page_type = _meta(head, _META_PROP, "og:type")
-    date_raw = _meta(head, _META_PROP, "article:published_time")
+    canonical = _meta(head, "property", "og:url")
+    description = _meta(head, "name", "description")
+    sitename = _meta(head, "property", "og:site_name")
+    author = _meta(head, "name", "author")
+    image = _meta(head, "property", "og:image")
+    page_type = _meta(head, "property", "og:type")
+    date_raw = _meta(head, "property", "article:published_time")
+    # date fallback cascade (spec v3, mirroring go-trafilatura's tolerance):
+    # <time datetime="..."> then JSON-LD "datePublished" — both live in the
+    # body, so they scan the full doc, masked to rows still missing a date
+    # (a minority pass on real corpora; most articles carry og meta)
+    need_date = date_raw.isna() & looks_html
+    if need_date.any():
+        tv = _extract2(
+            h[need_date],
+            r'(?is)<time\b[^>]*?\bdatetime\s*=\s*(?:"([^"]*)"|\'([^\']*)\')',
+        )
+        jl = h[need_date].str.extract(
+            r'(?s)"datePublished"\s*:\s*"([^"]+)"', expand=False
+        )
+        date_raw = date_raw.copy()
+        date_raw[need_date] = tv.where(tv.notna(), jl).astype(object)
     date = pd.to_datetime(date_raw, errors="coerce", utc=True).dt.tz_localize(None)
-    keywords = _meta(head, _META_NAME, "keywords")
-    section = _meta(head, _META_PROP, "article:section")
+    keywords = _meta(head, "name", "keywords")
+    section = _meta(head, "property", "article:section")
     license_url = head.str.extract(r'<link\s+rel="license"\s+href="([^"]*)"', expand=False)
     language = h.str.extract(r'<html[^>]*\slang="([^"]*)"', expand=False)
 

@@ -16,14 +16,21 @@ public-spec semantics:
 - **Seen-set**: fresh store keys (TTL-expired rows re-enter the frontier —
   the reference's expired⇒miss⇒refetch semantics) plus an `attempted`
   table for error URLs so failures don't loop. Probed via a partitioned
-  pre-filter + exact anti-join confirm (exact result, scale-safe). Two
-  pre-filters (north rule: "Bloom/cuckoo"): the Bloom is rebuilt from the
-  TTL-pruned store every epoch (O(store)/epoch build); the cuckoo filter
-  is maintained *incrementally* — per-epoch inserts of the keys committed
-  this epoch and deletes of the keys whose TTL expired inside the epoch's
-  committed watermark window (exactly-once), so maintenance cost ∝ delta.
-  Alias copies are never deleted (conservative false positives resolved by
-  the exact confirm); an overflowing bucket is flagged and rebuilt alone.
+  pre-filter + exact confirm (exact result, scale-safe). Two pre-filters
+  (north rule: "Bloom/cuckoo"): the Bloom is rebuilt from the TTL-pruned
+  store every epoch (O(store)/epoch build, documented small/medium mode);
+  the cuckoo filter is the scale mode — maintained *incrementally*
+  (per-epoch inserts of the keys committed this epoch; exactly-once
+  watermark-window expiry deletes found via manifest file-stat pruning)
+  AND confirmed *bucket-pruned* (the exact confirm reads only the
+  store/id_map buckets the maybe-keys hash to), so the whole per-epoch
+  seen-set cost is ∝ delta + candidates + touched buckets — no O(store)
+  term anywhere in the loop. Alias copies are never deleted (conservative
+  false positives resolved by the exact confirm); an overflowing bucket is
+  flagged and rebuilt alone. The persistent filter models only rows THIS
+  crawl commits: foreign store writers (CLI extract --store, external
+  merges) are detected by walking the manifest parent chain between epoch
+  pins, and trigger a full filter rebuild (rare, conservative, exact).
 - **Checkpoint/resume**: each epoch commits {frontier, metrics, attempted,
   store snapshot ids} under epochs/e{N}/ with an atomic _COMMIT marker;
   resume re-runs from the last committed epoch. Seen-set reads pin the
@@ -74,6 +81,12 @@ ATTEMPTED_SCHEMA = T.StructType(
 
 DEFAULT_CRAWL_DELAY = 1.0
 
+# store-commit ops this crawl itself authors; anything else in the manifest
+# parent chain between two epoch pins means a foreign writer touched the
+# store and the persistent seen-filter can no longer be advanced
+# incrementally (its one-sidedness only models rows the crawl committed)
+_CRAWL_STORE_OPS = {"crawl_merge", "crawl_compact"}
+
 
 @dataclass
 class CrawlConfig:
@@ -81,6 +94,11 @@ class CrawlConfig:
     max_depth: int = 6
     n_buckets: int = 16
     use_bloom: bool = True
+    # auto-compaction cadence: when any store bucket accumulates this many
+    # delta generations, run_epoch compacts after its merge (0 disables).
+    # Bounds read-side LWW resolution on long crawls — the reference analog
+    # is the daily maintenance ticker (database/sqlite/sqlite.go:76-80).
+    compact_after_generations: int = 8
     # "" derives from use_bloom; explicit values: "bloom" | "cuckoo" | "none"
     seen_filter: str = ""
     bloom_bits_per_key: int = 10
@@ -112,6 +130,7 @@ class Crawl:
         self.pages = pages
         self.robots = robots.cache()
         self.cfg = config or CrawlConfig()
+        self._epoch_caches: list[DataFrame] = []
         os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
 
     # ---- checkpoint bookkeeping -------------------------------------------
@@ -157,20 +176,75 @@ class Crawl:
     def _filter_kind(self) -> str:
         return self.cfg.seen_filter or ("bloom" if self.cfg.use_bloom else "none")
 
-    def _unseen(
-        self, frontier: DataFrame, seen_keys: DataFrame, pre_filter: DataFrame | None
-    ) -> DataFrame:
-        """EXACT anti-join of frontier vs seen keys, with an optional
-        Bloom/cuckoo pre-filter that lets 'definitely unseen' rows skip the
-        join (both filters are one-sided: no false negatives)."""
+    def _unseen(self, frontier: DataFrame, pre_filter: DataFrame | None, confirm) -> DataFrame:
+        """EXACT seen-set filtering: an optional Bloom/cuckoo pre-filter lets
+        'definitely unseen' rows skip the exact confirm entirely (both
+        filters are one-sided: no false negatives); the 'maybe seen' minority
+        goes through ``confirm`` (a callable maybe→still-unseen — the
+        full-key-set anti-join for bloom/none, the bucket-pruned probe for
+        cuckoo). ``probed`` is cached: both union arms and the eager
+        bucket-discovery collect read it once instead of re-running the
+        cogrouped probe per consumer (the union-arm recompute trap)."""
         if pre_filter is None:
-            return frontier.join(seen_keys, "key", "left_anti")
+            return confirm(frontier)
         probe = probe_bloom if self._filter_kind() == "bloom" else probe_cuckoo
-        probed = probe(frontier, pre_filter, "key", self.cfg.n_buckets)
+        probed = probe(frontier, pre_filter, "key", self.cfg.n_buckets).cache()
+        self._epoch_caches.append(probed)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = maybe.join(seen_keys, "key", "left_anti")
-        return definitely_new.unionByName(confirmed_new)
+        return definitely_new.unionByName(confirm(maybe))
+
+    def _confirm_unseen_pruned(
+        self,
+        maybe: DataFrame,
+        store_snap: int | None,
+        idmap_snap: int | None,
+        attempted: DataFrame,
+    ) -> DataFrame:
+        """Bucket-pruned exact confirm: reads ONLY the store/id_map buckets
+        the candidate keys hash to, so the per-epoch confirm shuffles
+        ∝ candidates + touched-bucket rows — never the 10^10-key store side
+        (the Spark analog of the reference's O(batch) primary-key point
+        probes, database/sqlite/migrations/00001_init.sql:15-17).
+
+        A candidate key is seen iff (a) a fresh store row has that key
+        (bucket-pruned: urls is hash-bucketed by key), or (b) a non-self
+        id_map alias maps it to a canonical key whose store row is fresh
+        (id_map is hash-bucketed by requested_id = the probe key; the
+        canonical rows add a second bucket-pruned store read), or (c) it was
+        attempted and errored (the attempted table is ∝ distinct error URLs,
+        already rewritten per epoch — not store-sized)."""
+        urls_t, idmap_t = self.store.urls, self.store.id_map
+        fresh = F.col("expires") > F.current_timestamp()
+        b1 = urls_t.touched_buckets(maybe.select("key"))
+        if not b1:
+            return maybe.join(attempted.select("key"), "key", "left_anti")
+        direct = (
+            urls_t.read(snapshot=store_snap, buckets=b1).filter(fresh).select("key")
+        )
+        alias = (
+            idmap_t.read(snapshot=idmap_snap, buckets=b1)
+            .filter(F.col("requested_id") != F.col("canonical_id"))
+            .join(
+                maybe.select(F.col("key").alias("requested_id")),
+                "requested_id",
+                "left_semi",
+            )
+            .cache()
+        )
+        self._epoch_caches.append(alias)
+        b2 = urls_t.touched_buckets(alias.select(F.col("canonical_id").alias("key")))
+        seen = direct
+        if b2:
+            fresh2 = (
+                urls_t.read(snapshot=store_snap, buckets=b2).filter(fresh).select("key")
+            )
+            alias_seen = alias.join(
+                fresh2, alias["canonical_id"] == fresh2["key"], "left_semi"
+            ).select(F.col("requested_id").alias("key"))
+            seen = seen.unionByName(alias_seen)
+        seen = seen.unionByName(attempted.select("key"))
+        return maybe.join(seen, "key", "left_anti")
 
     # ---- cuckoo filter maintenance ----------------------------------------
     def _cuckoo_multiset(self, fresh_keys: DataFrame, attempted: DataFrame) -> DataFrame:
@@ -213,6 +287,29 @@ class Crawl:
             return build_cuckoo(
                 self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
             )
+        # foreign-writer detection: the persistent filter models ONLY rows
+        # this crawl committed. If the manifest parent chain between the
+        # previous epoch's pin and this epoch's pin contains any commit the
+        # crawl didn't author (CLI extract --store, external merges), those
+        # rows would probe 'definitely unseen' (skipping the exact confirm)
+        # and their eventual expiry would delete never-inserted copies. Fall
+        # back to a full rebuild from the authoritative multiset — rare, and
+        # afterwards the filter models the foreign rows too.
+        for table, new_snap, old_snap in (
+            (self.store.urls, store_snap, (committed or {}).get("store_parent_snapshot")),
+            (
+                self.store.id_map,
+                (committed or {}).get("idmap_snapshot"),
+                (committed or {}).get("idmap_parent_snapshot"),
+            ),
+        ):
+            metas = table.commit_metas_between(new_snap, old_snap)
+            if metas is None or any(m.get("op") not in _CRAWL_STORE_OPS for m in metas):
+                return build_cuckoo(
+                    self._cuckoo_multiset(fresh_keys, attempted),
+                    "key",
+                    self.cfg.n_buckets,
+                )
         ck = self.spark.read.schema(CUCKOO_SCHEMA).parquet(path)
         # store row versions whose TTL fell inside (wm_prev, wm_now]: delete
         # their filter copy exactly once (watermarks are committed, so a
@@ -240,6 +337,7 @@ class Crawl:
     # ---- one epoch -----------------------------------------------------------
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
+        self._epoch_caches = []
         prev = self._edir(epoch)
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(prev, "frontier.parquet")
@@ -248,10 +346,22 @@ class Crawl:
             os.path.join(prev, "attempted.parquet")
         )
 
-        # pin the *committed* store snapshot for all reads this epoch
+        # pin the *committed* store snapshot for all reads this epoch; a
+        # fresh crawl (no committed state) pins the CURRENT snapshot eagerly
+        # so every read this epoch sees one concrete version and the commit
+        # can record exactly which snapshot the epoch (and the seen-filter
+        # build) was cut at
         committed = self._commit_info(epoch - 1) if epoch > 0 else None
-        store_snap = committed["store_snapshot"] if committed else None
-        idmap_snap = committed["idmap_snapshot"] if committed else None
+        store_snap = (
+            committed["store_snapshot"]
+            if committed
+            else self.store.urls.current_snapshot()
+        )
+        idmap_snap = (
+            committed["idmap_snapshot"]
+            if committed
+            else self.store.id_map.current_snapshot()
+        )
         fresh_store = self.store.urls.read(snapshot=store_snap)
         fresh_keys = fresh_store.filter(
             F.col("expires") > F.current_timestamp()
@@ -299,6 +409,19 @@ class Crawl:
         else:
             pre_filter = None
         bloom = pre_filter
+        # exact-confirm strategy: the cuckoo path confirms against ONLY the
+        # buckets the maybe-keys hash to (per-epoch exact work ∝ candidates +
+        # touched buckets); bloom/none confirm against the full cached key
+        # set (the Bloom is rebuilt from it each epoch anyway — that mode's
+        # documented O(store)/epoch term).
+        if filt_kind == "cuckoo":
+            def confirm(maybe):
+                return self._confirm_unseen_pruned(
+                    maybe, store_snap, idmap_snap, attempted
+                )
+        else:
+            def confirm(maybe):
+                return maybe.join(seen_keys, "key", "left_anti")
 
         # 1. robots exclusion. Two rule-table shapes: parsed RFC 9309 rules
         # (array<struct<plen,like>> from sources.robots.parse_robots — full
@@ -322,9 +445,9 @@ class Crawl:
         robots_denied = fr.filter(F.col("__denied"))
         allowed = fr.filter(~F.col("__denied")).drop("__denied")
 
-        # 2. seen-set anti-join (Bloom pre-filter + exact confirm)
+        # 2. seen-set anti-join (pre-filter + exact confirm)
         candidates = self._unseen(
-            allowed.select(*FRONTIER_SCHEMA.fieldNames(), "crawl_delay"), seen_keys, bloom
+            allowed.select(*FRONTIER_SCHEMA.fieldNames(), "crawl_delay"), bloom, confirm
         )
 
         # 3. politeness quota + deterministic per-host ranking. `ranked` is
@@ -383,8 +506,24 @@ class Crawl:
             epoch,
         )
 
-        # 6. merges + next frontier (dedupe by key, min depth wins)
-        self.store.merge(results)
+        # 6. merges + next frontier (dedupe by key, min depth wins). The
+        # crawl marks its own store commits so the seen-filter loader can
+        # tell them from foreign writers when walking the manifest chain.
+        self.store.merge(results, meta={"op": "crawl_merge"})
+        # auto-compaction cadence: manifest-only check (zero Spark jobs when
+        # below threshold); when any bucket's delta generations reach the
+        # limit, fold them so long crawls never accrete unbounded read-side
+        # LWW resolution. Runs BEFORE the commit records snapshot ids.
+        if (
+            self.cfg.compact_after_generations
+            and self.store.urls.delta_generations() >= self.cfg.compact_after_generations
+        ):
+            self.store.urls.compact(meta={"op": "crawl_compact"})
+        if (
+            self.cfg.compact_after_generations
+            and self.store.id_map.delta_generations() >= self.cfg.compact_after_generations
+        ):
+            self.store.id_map.compact(meta={"op": "crawl_compact"})
         new_attempted = attempted.unionByName(
             errors.select(
                 "key",
@@ -397,7 +536,7 @@ class Crawl:
         # no distinct — consumed by a left_anti only (dup-insensitive)
         in_flight = selected.select("key").unionByName(deferred.select("key"))
         fresh_links = (
-            self._unseen(links.join(in_flight, "key", "left_anti"), seen_keys, bloom)
+            self._unseen(links.join(in_flight, "key", "left_anti"), bloom, confirm)
             .select(*FRONTIER_SCHEMA.fieldNames())
         )
         next_frontier = (
@@ -483,6 +622,10 @@ class Crawl:
             ).count(),
             "store_snapshot": self.store.urls.current_snapshot(),
             "idmap_snapshot": self.store.id_map.current_snapshot(),
+            # the pins this epoch read at — next epoch's filter loader walks
+            # the manifest chain (parent → pin) to detect foreign writers
+            "store_parent_snapshot": store_snap,
+            "idmap_parent_snapshot": idmap_snap,
         }
         if filt_kind == "cuckoo":
             stats["seen_filter_wm"] = wm_now
@@ -490,8 +633,9 @@ class Crawl:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(edir, "_COMMIT.json"))
-        for df in (results, extracted, ranked, seen_keys):
+        for df in (results, extracted, ranked, seen_keys, *self._epoch_caches):
             df.unpersist()
+        self._epoch_caches = []
         if bloom is not None:
             bloom.unpersist()
         return stats

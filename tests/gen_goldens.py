@@ -86,6 +86,58 @@ FALLBACK_PAGES: list[tuple[str, str]] = [
 ]
 
 
+# Spec v3 fixtures: real-world-messy metadata markup that go-trafilatura's
+# DOM walk tolerates (fetch/trafilatura/fetcher.go:108-135) and a rigid
+# name-before-content double-quote regex does not — reversed attribute
+# order, single quotes, attributes in between, mixed case, and date
+# fallbacks via <time datetime> and JSON-LD datePublished.
+METADATA_PAGES: list[tuple[str, str]] = [
+    (
+        "https://meta.test/reversed-attrs",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Reversed</title>\n'
+        '<meta content="Jane Roe; John Doe" name="author">\n'
+        '<meta content="attrs reversed, still extracted" name="description">\n'
+        '<meta content="https://meta.test/canonical-r" property="og:url">\n'
+        "</head>\n<body>\n<article><p>Reversed-attribute body text.</p></article>\n"
+        "</body>\n</html>\n",
+    ),
+    (
+        "https://meta.test/single-quotes",
+        "<!DOCTYPE html>\n<html lang='en'>\n<head>\n<title>Quoted</title>\n"
+        "<meta name='description' content='single quotes everywhere'>\n"
+        "<meta name='author' content='Quincy Quote'>\n"
+        "<meta property='article:published_time' content='2026-02-03T04:05:06Z'>\n"
+        "</head>\n<body>\n<article><p>Single-quote body text.</p></article>\n"
+        "</body>\n</html>\n",
+    ),
+    (
+        "https://meta.test/attrs-between",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Between</title>\n'
+        '<meta name="author" class="seo" data-x="1" content="Betty Between">\n'
+        '<META NAME="description" CONTENT="mixed case tag and attrs">\n'
+        "</head>\n<body>\n<article><p>Attribute-gap body text.</p></article>\n"
+        "</body>\n</html>\n",
+    ),
+    (
+        "https://meta.test/time-datetime",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Timed</title>\n'
+        "</head>\n<body>\n<article>\n"
+        '<time datetime="2026-03-05T10:00:00Z">March 5, 2026</time>\n'
+        "<p>Dated via a time element, no og meta at all.</p>\n"
+        "</article>\n</body>\n</html>\n",
+    ),
+    (
+        "https://meta.test/json-ld",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Structured</title>\n'
+        '<script type="application/ld+json">\n'
+        '{"@context": "https://schema.org", "@type": "NewsArticle",\n'
+        ' "headline": "Structured", "datePublished": "2026-04-06T07:08:09Z"}\n'
+        "</script>\n</head>\n<body>\n<article>"
+        "<p>Dated via JSON-LD structured data.</p></article>\n</body>\n</html>\n",
+    ),
+]
+
+
 def build_golden() -> dict:
     corpus = _gen_batch(
         pd.DataFrame({"id": range(GOLDEN_HOSTS * GOLDEN_PER_HOST)}),
@@ -123,12 +175,26 @@ def build_golden() -> dict:
             "content_text": row.content_text,
             "extract_error": row.extract_error,
         }
+    md = {}
+    md_html = pd.Series([h.encode("utf-8") for _u, h in METADATA_PAGES])
+    md_ext = extract_batch(md_html)
+    for i, (url, _h) in enumerate(METADATA_PAGES):
+        row = md_ext.iloc[i]
+        md[url] = {
+            "canonical_url": row.canonical_url,
+            "title": row.title,
+            "description": row.description,
+            "author": row.author,
+            "date": row.date.isoformat() if pd.notna(row.date) else None,
+            "content_text": row.content_text,
+        }
     return {
         "spec_version": EXTRACT_SPEC_VERSION,
         "n_hosts": GOLDEN_HOSTS,
         "per_host": GOLDEN_PER_HOST,
         "pages": recs,
         "fallback_pages": fb,
+        "metadata_pages": md,
     }
 
 

@@ -114,3 +114,29 @@ def test_fallback_cascade_goldens(spark, golden):
     assert "real story" in nav and "Category" not in nav       # link farm loses
     tiny = rows["https://fallback.test/no-candidate"].content_text
     assert "Too short." in tiny                                # whole-body fallback kept
+
+
+def test_metadata_robustness_goldens(spark, golden):
+    """Spec v3: attribute-order/quote/case-insensitive <meta> parsing plus
+    <time datetime> and JSON-LD datePublished date fallbacks (go-trafilatura
+    tolerance, fetcher.go:108-135) — byte-identical to the committed goldens
+    through the distributed path."""
+    from tests.gen_goldens import METADATA_PAGES
+
+    df = spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in METADATA_PAGES], ["url", "html"]
+    ).repartition(2)
+    rows = {r.url: r for r in extract_pages(df).collect()}
+    assert set(rows) == set(golden["metadata_pages"])
+    for url, want in golden["metadata_pages"].items():
+        got = rows[url]
+        for f in ("canonical_url", "title", "description", "author", "content_text"):
+            assert getattr(got, f) == want[f], (url, f)
+        got_date = got.date.isoformat() if got.date is not None else None
+        assert got_date == want["date"], url
+    # the semantics the fixtures exist to pin (not just golden echo):
+    assert rows["https://meta.test/reversed-attrs"].author == "Jane Roe; John Doe"
+    assert rows["https://meta.test/single-quotes"].date is not None
+    assert rows["https://meta.test/attrs-between"].description == "mixed case tag and attrs"
+    assert rows["https://meta.test/time-datetime"].date.isoformat() == "2026-03-05T10:00:00"
+    assert rows["https://meta.test/json-ld"].date.isoformat() == "2026-04-06T07:08:09"
