@@ -108,8 +108,12 @@ def cmd_crawl(args) -> int:
         )
     elif args.robots:
         robots = spark.read.parquet(args.robots)
+    elif args.allow_all:
+        robots = spark.createDataFrame([], ROBOTS_SCHEMA)  # explicit opt-out
     else:
-        robots = spark.createDataFrame([], ROBOTS_SCHEMA)  # allow-all
+        # default: discover robots.txt from the corpus itself — per-epoch
+        # fetch+parse of /robots.txt for newly-seen hosts (RFC 9309)
+        robots = None
     crawl = Crawl(
         spark,
         args.state,
@@ -120,6 +124,7 @@ def cmd_crawl(args) -> int:
             epoch_seconds=args.epoch_seconds,
             max_depth=args.max_depth,
             seen_filter=args.seen_filter,
+            user_agent=args.user_agent,
         ),
     )
     seeds = list(args.seeds) or None
@@ -168,6 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--robots", default=None, help="rules parquet (host, disallow, crawl_delay)")
     cr.add_argument(
         "--robots-txt", default=None, help="raw robots parquet (host, robots_txt) — RFC 9309 parsed"
+    )
+    cr.add_argument(
+        "--allow-all", action="store_true",
+        help="skip robots entirely (default: discover /robots.txt from the corpus)",
     )
     cr.add_argument("--user-agent", default="scrape-spark", help="UA for robots group selection")
     cr.add_argument("--epochs", type=int, default=4)

@@ -99,6 +99,9 @@ class CrawlConfig:
     # Bounds read-side LWW resolution on long crawls — the reference analog
     # is the daily maintenance ticker (database/sqlite/sqlite.go:76-80).
     compact_after_generations: int = 8
+    # product token for RFC 9309 user-agent group selection when the crawl
+    # discovers robots.txt from the corpus itself (robots=None)
+    user_agent: str = "scrape-spark"
     # "" derives from use_bloom; explicit values: "bloom" | "cuckoo" | "none"
     seen_filter: str = ""
     bloom_bits_per_key: int = 10
@@ -121,14 +124,20 @@ class Crawl:
         state_dir: str,
         store: UrlStore,
         pages: DataFrame,
-        robots: DataFrame,
+        robots: DataFrame | None = None,
         config: CrawlConfig | None = None,
     ):
+        """``robots`` may be a pre-supplied rules table (parsed RFC 9309
+        rules or legacy disallow-prefix arrays), or None — then the crawl
+        DISCOVERS robots.txt from the corpus itself: each epoch it fetches
+        ``https://<host>/robots.txt`` for hosts newly seen in the frontier
+        (through the same corpus equi-join every fetch uses), parses them
+        (RFC 9309), and accumulates the rules in the epoch checkpoint."""
         self.spark = spark
         self.state_dir = state_dir
         self.store = store
         self.pages = pages
-        self.robots = robots.cache()
+        self.robots = robots.cache() if robots is not None else None
         self.cfg = config or CrawlConfig()
         self._epoch_caches: list[DataFrame] = []
         os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
@@ -334,6 +343,52 @@ class Crawl:
             ck, self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
         )
 
+    # ---- corpus-discovered robots ------------------------------------------
+    def _robots_for_epoch(self, epoch: int, frontier: DataFrame) -> DataFrame:
+        """Robots discovery (robots=None mode): fetch /robots.txt for hosts
+        newly seen in the frontier from the pages corpus, parse (RFC 9309,
+        cfg.user_agent group selection), and accumulate one rules row per
+        host in the epoch checkpoint. Per-epoch cost ∝ NEW hosts: the
+        accumulated state is a host-dimension table; the fetch streams the
+        corpus against a broadcast of the missing-host probe (the same
+        zero-corpus-shuffle decomposition the fetch join uses — the probe is
+        host-count-bounded by construction). A host with no robots.txt page
+        gets an allow-all row once and is never refetched."""
+        from scrape_spark.sources.robots import ROBOTS_RULES_SCHEMA, parse_robots
+
+        path = os.path.join(self._edir(epoch), "robots_state.parquet")
+        if os.path.exists(path):
+            state = self.spark.read.schema(ROBOTS_RULES_SCHEMA).parquet(path)
+        else:
+            state = self.spark.createDataFrame([], ROBOTS_RULES_SCHEMA)
+        missing = (
+            frontier.select("host")
+            .distinct()
+            .join(state.select("host"), "host", "left_anti")
+            .withColumn(
+                "__rurl",
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt")),
+            )
+        )
+        html_t = {f.name: f.dataType for f in self.pages.schema.fields}["html"]
+        body = (
+            F.decode(F.col("html"), "UTF-8")
+            if isinstance(html_t, T.BinaryType)
+            else F.col("html").cast("string")
+        )
+        corpus = self.pages.select(F.col("url").alias("__rurl"), body.alias("robots_txt"))
+        found = corpus.join(F.broadcast(missing), "__rurl", "inner")
+        absent = missing.join(
+            corpus.select("__rurl"), "__rurl", "left_anti"
+        ).withColumn("robots_txt", F.lit(None).cast("string"))
+        fetched = found.select("host", "robots_txt").unionByName(
+            absent.select("host", "robots_txt")
+        )
+        parsed = parse_robots(
+            fetched, user_agent=self.cfg.user_agent, host_col="host", txt_col="robots_txt"
+        )
+        return state.unionByName(parsed)
+
     # ---- one epoch -----------------------------------------------------------
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
@@ -423,13 +478,20 @@ class Crawl:
             def confirm(maybe):
                 return maybe.join(seen_keys, "key", "left_anti")
 
-        # 1. robots exclusion. Two rule-table shapes: parsed RFC 9309 rules
-        # (array<struct<plen,like>> from sources.robots.parse_robots — full
-        # allow/disallow longest-match precedence + wildcards) or the legacy
-        # plain disallow-prefix arrays.
-        fr = frontier.join(F.broadcast(self.robots), "host", "left")
+        # 1. robots exclusion. Three sources: a pre-supplied parsed-rules
+        # table (array<struct<plen,like>> from sources.robots.parse_robots —
+        # full allow/disallow longest-match precedence + wildcards), a legacy
+        # plain disallow-prefix table, or — robots=None — rules DISCOVERED
+        # from the corpus's own /robots.txt pages and accumulated in the
+        # checkpoint (cost ∝ new hosts/epoch).
+        if self.robots is None:
+            robots_df = self._robots_for_epoch(epoch, frontier).cache()
+            self._epoch_caches.append(robots_df)
+        else:
+            robots_df = self.robots
+        fr = frontier.join(F.broadcast(robots_df), "host", "left")
         path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
-        fields = {f.name: f.dataType for f in self.robots.schema.fields}
+        fields = {f.name: f.dataType for f in robots_df.schema.fields}
         dis_t = fields.get("disallow")
         if isinstance(dis_t, T.ArrayType) and isinstance(dis_t.elementType, T.StructType):
             from scrape_spark.sources.robots import denied_expr
@@ -573,6 +635,12 @@ class Crawl:
         nxt = self._edir(epoch + 1)
         next_frontier.write.mode("overwrite").parquet(os.path.join(nxt, "frontier.parquet"))
         new_attempted.write.mode("overwrite").parquet(os.path.join(nxt, "attempted.parquet"))
+        if self.robots is None:
+            # discovered-robots state rides the checkpoint like frontier/
+            # attempted: resume replays the identical rules table
+            robots_df.write.mode("overwrite").parquet(
+                os.path.join(nxt, "robots_state.parquet")
+            )
         if filt_kind == "cuckoo":
             # insert this epoch's committed keys: one store-copy per merged
             # row, one alias-copy per non-self redirect, one attempted-copy

@@ -270,6 +270,36 @@ def robots_table(spark: SparkSession, n_hosts: int) -> DataFrame:
     return spark.createDataFrame(rows, schema=ROBOTS_SCHEMA)
 
 
+def robots_txt_pages(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """/robots.txt pages for every synthetic host, encoding the SAME policy
+    as ``robots_table`` (disallow /private/, per-host crawl-delay) as real
+    RFC 9309 text — the corpus-discovery crawl (no pre-supplied rules table)
+    must reach identical behavior by fetching + parsing these."""
+    delays = [0.2, 0.5, 1.0, 2.0]
+    rows = []
+    for h in range(n_hosts):
+        d = delays[h % len(delays)] if h else 0.1
+        txt = (
+            "# synthetic policy\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            f"Crawl-delay: {d}\n"
+        )
+        rows.append(
+            (
+                f"https://{host_name(h)}/robots.txt",
+                None,
+                txt.encode("utf-8"),
+                txt,
+                "en",
+                "text/plain",
+                200,
+                None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=PAGES_FETCH_SCHEMA)
+
+
 def seed_urls(n_hosts: int, seeds_per_host: int = 1) -> list[str]:
     """Deterministic seed list: page 0 of each host (optionally more)."""
     return [page_url(h, j) for h in range(n_hosts) for j in range(seeds_per_host)]

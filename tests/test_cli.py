@@ -112,3 +112,30 @@ def test_crawl_subcommand_runs_and_resumes(spark, corpus_path, capsys, tmp_path)
     assert main(argv) == 0
     more = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert [s["epoch"] for s in more] == [2]
+
+
+def test_crawl_discovers_robots_without_flags(spark, capsys, tmp_path):
+    """No --robots/--robots-txt flag: the crawl must fetch /robots.txt pages
+    from the corpus itself and obey them (VERDICT r3 #8 — RFC 9309 story
+    end-to-end from the command line)."""
+    from scrape_spark.sources.pages import robots_txt_pages
+
+    corpus = str(tmp_path / "pages_with_robots")
+    synth_pages(spark, n_hosts=3, per_host=20).unionByName(
+        robots_txt_pages(spark, 3)
+    ).write.mode("overwrite").parquet(corpus)
+    argv = [
+        "crawl", "--pages", corpus,
+        "--state", str(tmp_path / "state"), "--store", str(tmp_path / "store"),
+        "--epochs", "3", "--epoch-seconds", "4",
+        page_url(0, 0), page_url(1, 0), page_url(2, 0),
+    ]
+    assert main(argv) == 0
+    stats = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert sum(s["robots_denied"] for s in stats) > 0  # /private/ rules obeyed
+    # nothing under /private/ was ever fetched into the store
+    from scrape_spark.operators.store import UrlStore
+    from pyspark.sql import functions as F
+
+    store = UrlStore(spark, str(tmp_path / "store"))
+    assert store.urls.read().filter(F.col("parsed_url").contains("/private/")).count() == 0

@@ -363,3 +363,42 @@ def test_external_store_writer_triggers_filter_rebuild(spark, tmp_path_factory, 
     assert cuckoo_sel == exact_sel
     # the detection actually fired: initial build + post-injection rebuild
     assert builds["n"] >= 2, builds
+
+
+def test_robots_discovered_from_corpus_matches_model(spark, tmp_path_factory, pages, model):
+    """robots=None: the crawl must fetch /robots.txt pages from the corpus
+    itself, parse them (RFC 9309), and reach EXACTLY the behavior of the
+    pre-supplied rules table — same selected tuples, same store keys — with
+    the discovered rules accumulated in the checkpoint."""
+    import os
+
+    from scrape_spark.sources.pages import robots_txt_pages
+
+    corpus = pages.unionByName(robots_txt_pages(spark, N_HOSTS))
+    tmpdir = str(tmp_path_factory.mktemp("crawl_robots_disc"))
+    store = UrlStore(spark, f"{tmpdir}/store", n_buckets=8)
+    crawl = Crawl(
+        spark, f"{tmpdir}/state", store, corpus, None,
+        CrawlConfig(
+            epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+            shuffle_partitions=4,
+        ),
+    )
+    stats = crawl.run(N_EPOCHS, seeds=seed_urls(N_HOSTS))
+    got = {r.key for r in store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    assert sum(s["robots_denied"] for s in stats) > 0
+    # discovered rules ride the checkpoint; every frontier host accumulated
+    last = crawl.last_committed_epoch()
+    state_path = f"{crawl.state_dir}/epochs/e{last+1:05d}/robots_state.parquet"
+    assert os.path.exists(state_path)
+    rules = spark.read.parquet(state_path)
+    assert rules.count() > 0
+    one = rules.filter(F.col("host") == "h00001.ex1.test").collect()[0]
+    assert [r["like"] for r in one.disallow] == ["/private/%"]
+    assert one.crawl_delay == 0.5
+    shutil.rmtree(tmpdir, ignore_errors=True)
