@@ -101,7 +101,12 @@ def main() -> None:
     # corpus through the store-backed plan (mixed hit/miss: alias-resolve,
     # bucket-pruned cache split, fetch+extract of misses, MERGE commit) —
     # this is the path production crawls pay; the headline above is the
-    # cold-store path.
+    # cold-store path. Iterated like every other query (round-3 verdict:
+    # a single-shot store number cannot be told apart from this box's up-to-
+    # 4x single-shot variance): each iteration gets a FRESH warmed store
+    # (the warm-up is untimed), min + median reported. A split measurement
+    # (probe+extract with save=False, then the MERGE of the cached results)
+    # attributes the time between the read path and the commit path.
     import shutil
     import tempfile
 
@@ -109,17 +114,38 @@ def main() -> None:
 
     from scrape_spark.operators.store import UrlStore
 
-    store_root = tempfile.mkdtemp(prefix="bench_store_")
-    try:
-        store = UrlStore(spark, store_root, n_buckets=int(cpus))
-        warm = pages.select("url").filter(F.xxhash64("url") % 2 == 0)
-        batch_extract(spark, warm, pages, store).count()
-        t0 = time.time()
-        batch_extract(spark, pages.select("url"), pages, store).count()
-        timings["batch_pipeline_store"] = round(time.time() - t0, 3)
-        medians["batch_pipeline_store"] = timings["batch_pipeline_store"]
-    finally:
-        shutil.rmtree(store_root, ignore_errors=True)
+    def store_round(corpus_df, n_buckets, split=False):
+        """One fresh-store iteration: warm (untimed) → timed full run.
+        With split=True also returns (probe_seconds, merge_seconds)."""
+        root = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            st = UrlStore(spark, root, n_buckets=n_buckets)
+            warm = corpus_df.select("url").filter(F.xxhash64("url") % 2 == 0)
+            batch_extract(spark, warm, corpus_df, st).count()
+            if not split:
+                t0 = time.time()
+                batch_extract(spark, corpus_df.select("url"), corpus_df, st).count()
+                return time.time() - t0
+            t0 = time.time()
+            res = batch_extract(
+                spark, corpus_df.select("url"), corpus_df, st, save=False
+            ).cache()
+            res.count()
+            t_probe = time.time() - t0
+            t0 = time.time()
+            st.merge(res)
+            t_merge = time.time() - t0
+            res.unpersist()
+            return t_probe, t_merge
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    sruns = [store_round(pages, int(cpus)) for _ in range(ITERS)]
+    timings["batch_pipeline_store"] = round(min(sruns), 3)
+    medians["batch_pipeline_store"] = round(_median(sruns), 3)
+    t_probe, t_merge = store_round(pages, int(cpus), split=True)
+    timings["batch_pipeline_store_probe"] = round(t_probe, 3)
+    timings["batch_pipeline_store_merge"] = round(t_merge, 3)
 
     # one larger corpus level so round-over-round comparisons aren't
     # floor-dominated by the ~55k-row sf0.1 corpus (SPARK_GRAFT_LARGE=0
@@ -143,6 +169,14 @@ def main() -> None:
             "n_pages": n_large,
             "throughput_pages_per_sec": round(n_large / min(lruns), 1),
         }
+        # warm-store large level (round-3 verdict #7): merge-on-read measured
+        # at a scale where bucket counts matter — 64 buckets at 1.3M pages
+        # (the sizing curve the store docstring prescribes; fresh warmed
+        # store per iteration, half hits / half miss+merge)
+        lsruns = [store_round(large, 64) for _ in range(2)]
+        timings["batch_pipeline_large_store"] = round(min(lsruns), 3)
+        medians["batch_pipeline_large_store"] = round(_median(lsruns), 3)
+        large_stats["store_throughput_pages_per_sec"] = round(n_large / min(lsruns), 1)
 
     # min + median of ITERS runs per query (JVM warm-in: measured 19s -> 6s
     # across iterations on the ssjoin; min = steady state, median = honesty)
