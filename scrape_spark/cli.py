@@ -142,6 +142,35 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Reference's DELETE /extract (internal/server routes): drop the given
+    URLs' canonical rows from the store; alias rows survive (S10)."""
+    from scrape_spark.operators.store import UrlStore
+
+    spark = _spark(args.cores)
+    snap = UrlStore(spark, args.store).delete(list(args.urls))
+    print(f"deleted {len(args.urls)} url(s), snapshot {snap}", file=sys.stderr)
+    return 0
+
+
+def cmd_ping(args) -> int:
+    """Reference's -ping flag + /.well-known healthcheck: verify the store
+    opens and report row counts + current snapshot as one JSON object on
+    stdout (exit 1 on an unreadable store)."""
+    import json as _json
+
+    from scrape_spark.operators.store import UrlStore
+
+    spark = _spark(args.cores)
+    try:
+        stats = UrlStore(spark, args.store).stats()
+    except Exception as e:  # unreadable/corrupt store ⇒ unhealthy
+        print(_json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    print(_json.dumps({"ok": True, **stats}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="scrape_spark")
     p.add_argument("--cores", default="*", help="local[N] parallelism")
@@ -165,6 +194,15 @@ def build_parser() -> argparse.ArgumentParser:
     ma = sub.add_parser("maintain", help="expire + compact a store")
     ma.add_argument("--store", required=True)
     ma.set_defaults(fn=cmd_maintain)
+
+    de = sub.add_parser("delete", help="delete URLs from a store (canonical rows only)")
+    de.add_argument("--store", required=True)
+    de.add_argument("urls", nargs="+")
+    de.set_defaults(fn=cmd_delete)
+
+    pi = sub.add_parser("ping", help="store healthcheck → JSON stats")
+    pi.add_argument("--store", required=True)
+    pi.set_defaults(fn=cmd_ping)
 
     cr = sub.add_parser("crawl", help="BFS crawl epochs → store (resumable)")
     cr.add_argument("--pages", required=True, help="pages corpus parquet")

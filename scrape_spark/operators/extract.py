@@ -82,6 +82,25 @@ def _extract2(h: pd.Series, pattern: str) -> pd.Series:
     return df[0].where(df[0].notna(), df[1]).astype(object)
 
 
+def _link_href(h: pd.Series, rel: str) -> pd.Series:
+    """<link rel="{rel}" href="..."> tolerant of quotes/case/extra attrs and
+    of href preceding rel (the reversed pattern runs only on misses)."""
+    v = _extract2(
+        h,
+        rf'(?is)<link\b[^>]*?\brel\s*=\s*["\']{rel}["\']'
+        rf'[^>]*?\bhref\s*=\s*(?:"([^"]*)"|\'([^\']*)\')',
+    )
+    miss = v.isna()
+    if miss.any():
+        v = v.copy()
+        v[miss] = _extract2(
+            h[miss],
+            rf'(?is)<link\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|\'([^\']*)\')'
+            rf'[^>]*?\brel\s*=\s*["\']{rel}["\']',
+        )
+    return v
+
+
 def _meta(h: pd.Series, attr: str, key: str) -> pd.Series:
     """<meta {attr}="{key}" ... content="...">, tolerant the way real pages
     demand (go-trafilatura uses a DOM walk, fetcher.go:108-135; this regex
@@ -139,6 +158,13 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
         head.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
     ).str.strip()
     canonical = _meta(head, "property", "og:url")
+    # canonical fallback (spec v3): <link rel="canonical" href="..."> — the
+    # other common canonical signal (go-trafilatura reads both); tolerant
+    # pass only on rows og:url missed
+    need_canon = canonical.isna() & looks_html
+    if need_canon.any():
+        canonical = canonical.copy()
+        canonical[need_canon] = _link_href(head[need_canon], "canonical")
     description = _meta(head, "name", "description")
     sitename = _meta(head, "property", "og:site_name")
     author = _meta(head, "name", "author")
@@ -163,7 +189,13 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     date = pd.to_datetime(date_raw, errors="coerce", utc=True).dt.tz_localize(None)
     keywords = _meta(head, "name", "keywords")
     section = _meta(head, "property", "article:section")
-    license_url = head.str.extract(r'<link\s+rel="license"\s+href="([^"]*)"', expand=False)
+    license_url = head.str.extract(
+        r'<link\s+rel="license"\s+href="([^"]*)"', expand=False
+    ).astype(object)
+    need_lic = license_url.isna() & looks_html
+    if need_lic.any():  # tolerant tier (quotes/order/attrs-between)
+        license_url = license_url.copy()
+        license_url[need_lic] = _link_href(head[need_lic], "license")
     language = h.str.extract(r'<html[^>]*\slang="([^"]*)"', expand=False)
 
     tags = keywords.map(

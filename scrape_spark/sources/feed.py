@@ -33,22 +33,31 @@ except ImportError:
     feedparser = None
     HAVE_FEEDPARSER = False
 
+# Item shape mirrors the gofeed.Item fields the reference's /feed API
+# returns verbatim (resource/feed.go:9-21 embeds gofeed.Feed whole): link +
+# title for the fan-out, plus the metadata tail — guid, published (raw +
+# parsed), description, author (incl. dc:creator), categories, enclosure.
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType(), True),
+        T.StructField("link", T.StringType(), True),
+        T.StructField("guid", T.StringType(), True),
+        T.StructField("published", T.StringType(), True),
+        T.StructField("published_ts", T.TimestampType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("categories", T.ArrayType(T.StringType()), True),
+        T.StructField("enclosure_url", T.StringType(), True),
+        T.StructField("enclosure_type", T.StringType(), True),
+        T.StructField("enclosure_length", T.LongType(), True),
+    ]
+)
+
 FEED_SCHEMA = T.StructType(
     [
         T.StructField("feed_url", T.StringType(), False),
         T.StructField("feed_title", T.StringType(), True),
-        T.StructField(
-            "items",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("title", T.StringType(), True),
-                        T.StructField("link", T.StringType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
+        T.StructField("items", T.ArrayType(ITEM_SCHEMA), True),
     ]
 )
 
@@ -115,6 +124,89 @@ def _atom_link(chunk: str, base: str) -> str | None:
     return fallback
 
 
+def _first(chunk: str, *patterns: str) -> str | None:
+    """First non-empty cleaned match among ordered alternatives."""
+    import re
+
+    for pat in patterns:
+        m = re.search(pat, chunk)
+        if m:
+            v = _clean_text(m.group(1))
+            if v:
+                return v
+    return None
+
+
+def _item_meta(attrs: str, chunk: str) -> dict:
+    """gofeed.Item-shaped metadata from one <item>/<entry> chunk.
+    Namespaced Dublin Core (dc:creator, dc:date) folds into author/published
+    the way gofeed's DC extension translator does; enclosures come from the
+    RSS <enclosure> tag or an Atom <link rel="enclosure">."""
+    import re
+
+    guid = _first(
+        chunk,
+        r"(?s)<guid[^>]*>\s*(.*?)\s*</guid>",
+        r"(?s)<id[^>]*>\s*(.*?)\s*</id>",
+    )
+    if guid is None:  # RDF items carry identity on rdf:about
+        m = re.search(r"""rdf:about\s*=\s*["']([^"']*)["']""", attrs)
+        guid = m.group(1) if m else None
+    published = _first(
+        chunk,
+        r"(?s)<pubDate[^>]*>\s*(.*?)\s*</pubDate>",
+        r"(?s)<published[^>]*>\s*(.*?)\s*</published>",
+        r"(?s)<updated[^>]*>\s*(.*?)\s*</updated>",
+        r"(?s)<dc:date[^>]*>\s*(.*?)\s*</dc:date>",
+    )
+    description = _first(
+        chunk,
+        r"(?s)<description[^>]*>\s*(.*?)\s*</description>",
+        r"(?s)<summary[^>]*>\s*(.*?)\s*</summary>",
+    )
+    author = _first(
+        chunk,
+        r"(?s)<dc:creator[^>]*>\s*(.*?)\s*</dc:creator>",
+        r"(?s)<author[^>]*>\s*<name[^>]*>\s*(.*?)\s*</name>",  # Atom nested
+        r"(?s)<author[^>]*>\s*([^<]*?)\s*</author>",  # RSS flat (email form)
+    )
+    cats = [
+        _clean_text(c)
+        for c in re.findall(r"(?s)<category[^>]*>\s*(.*?)\s*</category>", chunk)
+    ]
+    cats += [
+        _clean_text(t)
+        for t in re.findall(r"""<category\b[^>]*\bterm\s*=\s*["']([^"']*)["']""", chunk)
+    ]
+    cats = [c for c in cats if c]
+    enc_url = enc_type = None
+    enc_len = None
+    em = re.search(r"<enclosure\b([^>]*?)/?>", chunk)
+    if em:
+        d = {k.lower(): v for k, v in re.findall(_ATTR_RE, em.group(1))}
+        enc_url, enc_type = d.get("url"), d.get("type")
+        enc_len = int(d["length"]) if str(d.get("length", "")).isdigit() else None
+    else:  # Atom enclosure link
+        for link_attrs in re.findall(_ATOM_LINK_TAG_RE, chunk):
+            d = {k.lower(): v for k, v in re.findall(_ATTR_RE, link_attrs)}
+            if d.get("rel", "").lower() == "enclosure" and d.get("href"):
+                enc_url, enc_type = d["href"], d.get("type")
+                enc_len = (
+                    int(d["length"]) if str(d.get("length", "")).isdigit() else None
+                )
+                break
+    return {
+        "guid": guid,
+        "published": published,
+        "description": description,
+        "author": author,
+        "categories": cats or None,
+        "enclosure_url": enc_url,
+        "enclosure_type": enc_type,
+        "enclosure_length": enc_len,
+    }
+
+
 def _parse_one(xml: str, feed_url: str | None = None) -> tuple[str | None, list[dict]]:
     import re
     from urllib.parse import urljoin
@@ -144,10 +236,16 @@ def _parse_one(xml: str, feed_url: str | None = None) -> tuple[str | None, list[
         else:
             link = _atom_link(chunk, ebase)
         tm = re.search(_TITLE_RE, chunk)
+        meta = _item_meta(attrs, chunk)
+        pub_ts = pd.to_datetime(meta["published"], errors="coerce", utc=True)
+        meta["published_ts"] = (
+            pub_ts.tz_localize(None).to_pydatetime() if pd.notna(pub_ts) else None
+        )
         items.append(
             {
                 "title": _clean_text(tm.group(1)) if tm else None,
                 "link": link,
+                **meta,
             }
         )
     return feed_title, items

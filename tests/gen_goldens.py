@@ -127,6 +127,14 @@ METADATA_PAGES: list[tuple[str, str]] = [
         "</article>\n</body>\n</html>\n",
     ),
     (
+        "https://meta.test/link-canonical",
+        '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Canonical</title>\n'
+        '<link href="https://meta.test/the-canonical" rel="canonical">\n'
+        "<link href='https://creativecommons.org/licenses/by-sa/4.0/' rel='license'>\n"
+        "</head>\n<body>\n<article><p>Canonical via link tag, href before rel, "
+        "single-quoted license.</p></article>\n</body>\n</html>\n",
+    ),
+    (
         "https://meta.test/json-ld",
         '<!DOCTYPE html>\n<html lang="en">\n<head>\n<title>Structured</title>\n'
         '<script type="application/ld+json">\n'

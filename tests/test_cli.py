@@ -139,3 +139,22 @@ def test_crawl_discovers_robots_without_flags(spark, capsys, tmp_path):
 
     store = UrlStore(spark, str(tmp_path / "store"))
     assert store.urls.read().filter(F.col("parsed_url").contains("/private/")).count() == 0
+
+
+def test_delete_and_ping_subcommands(spark, corpus_path, capsys, tmp_path):
+    """CLI surface for the reference's DELETE /extract and -ping/healthcheck
+    journeys: delete drops the canonical row (aliases survive, S10); ping
+    reports row counts + snapshot as JSON and exits 0."""
+    store = str(tmp_path / "dp")
+    assert main(["extract", "--pages", corpus_path, "--store", store,
+                 page_url(0, 5), page_url(0, 6)]) == 0
+    capsys.readouterr()
+    assert main(["ping", "--store", store]) == 0
+    health = json.loads(capsys.readouterr().out)
+    assert health["ok"] is True and health["total_rows"] == 2
+
+    assert main(["delete", "--store", store, page_url(0, 5)]) == 0
+    capsys.readouterr()
+    assert main(["ping", "--store", store]) == 0
+    health = json.loads(capsys.readouterr().out)
+    assert health["total_rows"] == 1

@@ -140,3 +140,6 @@ def test_metadata_robustness_goldens(spark, golden):
     assert rows["https://meta.test/attrs-between"].description == "mixed case tag and attrs"
     assert rows["https://meta.test/time-datetime"].date.isoformat() == "2026-03-05T10:00:00"
     assert rows["https://meta.test/json-ld"].date.isoformat() == "2026-04-06T07:08:09"
+    lc = rows["https://meta.test/link-canonical"]
+    assert lc.canonical_url == "https://meta.test/the-canonical"  # href-before-rel
+    assert lc.license == "https://creativecommons.org/licenses/by-sa/4.0/"

@@ -352,3 +352,64 @@ def test_feed_refresh_cadence(spark):
     a3 = {r.url: r for r in feeds3.collect()}["a"]
     assert a3.last_request == now + 100
     assert a3.last_refresh == now + 2
+
+
+# Item-metadata tail (gofeed.Item fields the reference's /feed API returns
+# verbatim, resource/feed.go:9-21): guid, pubDate/published (+parsed ts),
+# description/summary, author incl. dc:creator, categories, enclosures.
+META_RSS = """<?xml version="1.0"?><rss xmlns:dc="http://purl.org/dc/elements/1.1/"><channel>
+<title>Podcasts</title>
+<item>
+ <title>Ep 1</title><link>https://pod.test/ep1</link>
+ <guid>tag:pod.test,2026:ep1</guid>
+ <pubDate>Mon, 02 Feb 2026 10:30:00 GMT</pubDate>
+ <description><![CDATA[First & best episode]]></description>
+ <dc:creator>Casey Caster</dc:creator>
+ <category>tech</category><category>audio</category>
+ <enclosure url="https://pod.test/ep1.mp3" type="audio/mpeg" length="123456"/>
+</item>
+</channel></rss>"""
+
+META_ATOM = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Atom Pod</title>
+<entry>
+ <title>E2</title><link rel="alternate" href="https://pod.test/e2"/>
+ <id>urn:uuid:e2</id>
+ <published>2026-03-04T05:06:07Z</published>
+ <summary>Second one</summary>
+ <author><name>Addie Atom</name></author>
+ <category term="science"/>
+ <link rel="enclosure" href="https://pod.test/e2.ogg" type="audio/ogg" length="999"/>
+</entry>
+</feed>"""
+
+
+def test_feed_item_metadata_tail(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("https://pod.test/rss", META_RSS), ("https://pod.test/atom", META_ATOM)],
+        ["feed_url", "xml"],
+    )
+    rows = {r.feed_url: r for r in parse_feeds(df).collect()}
+    it = rows["https://pod.test/rss"].items[0]
+    assert it.link == "https://pod.test/ep1"
+    assert it.guid == "tag:pod.test,2026:ep1"
+    assert it.published == "Mon, 02 Feb 2026 10:30:00 GMT"
+    assert it.published_ts == dt.datetime(2026, 2, 2, 10, 30)
+    assert it.description == "First & best episode"
+    assert it.author == "Casey Caster"
+    assert it.categories == ["tech", "audio"]
+    assert (it.enclosure_url, it.enclosure_type, it.enclosure_length) == (
+        "https://pod.test/ep1.mp3", "audio/mpeg", 123456,
+    )
+    at = rows["https://pod.test/atom"].items[0]
+    assert at.link == "https://pod.test/e2"
+    assert at.guid == "urn:uuid:e2"
+    assert at.published_ts == dt.datetime(2026, 3, 4, 5, 6, 7)
+    assert at.description == "Second one"
+    assert at.author == "Addie Atom"
+    assert at.categories == ["science"]
+    assert (at.enclosure_url, at.enclosure_type, at.enclosure_length) == (
+        "https://pod.test/e2.ogg", "audio/ogg", 999,
+    )
