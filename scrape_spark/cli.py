@@ -50,6 +50,7 @@ def _request_df(spark, args) -> "DataFrame":  # noqa: F821
 
 def cmd_extract(args) -> int:
     from scrape_spark.operators.json_sink import json_array_string
+    from scrape_spark.operators.settings import DomainSettingsStore
     from scrape_spark.operators.store import UrlStore
     from scrape_spark.plans.batch_extract import batch_extract
     from scrape_spark.schemas import FETCH_METHOD_DIRECT, FETCH_METHOD_HEADLESS
@@ -57,14 +58,58 @@ def cmd_extract(args) -> int:
     spark = _spark(args.cores)
     pages = spark.read.parquet(args.pages)
     store = UrlStore(spark, args.store) if args.store else None
+    settings = (
+        DomainSettingsStore(spark, args.settings) if getattr(args, "settings", None) else None
+    )
     out = batch_extract(
         spark,
         _request_df(spark, args),
         pages,
         store=store,
+        settings=settings,
         fetch_method=FETCH_METHOD_HEADLESS if args.headless else FETCH_METHOD_DIRECT,
     )
     print(json_array_string(out, drop_text=args.notext))
+    return 0
+
+
+def cmd_settings(args) -> int:
+    """Domain-settings CRUD — the reference's /settings/domain API surface
+    (internal/server/routes.go:51-56; internal/settings/domain.go) from the
+    command line: get/put/search/delete, wildcard search paged and capped."""
+    import json as _json
+
+    from scrape_spark.operators.settings import DomainSettingsStore
+
+    spark = _spark(args.cores)
+    st = DomainSettingsStore(spark, args.store)
+
+    def emit(df):
+        rows = [
+            {k: v for k, v in r.asDict().items() if v is not None}
+            for r in df.collect()
+        ]
+        print(_json.dumps(rows))
+
+    if args.action == "get":
+        emit(st.fetch(args.domain))
+    elif args.action == "put":
+        headers = dict(h.split(":", 1) for h in args.header or [])
+        df = spark.createDataFrame(
+            [(args.domain, args.sitename, args.fetch_client, args.user_agent,
+              headers or None)],
+            schema=(
+                "domain string, sitename string, fetch_client string, "
+                "user_agent string, headers map<string,string>"
+            ),
+        )
+        st.upsert(df)
+        emit(st.fetch(args.domain))
+    elif args.action == "search":
+        emit(st.fetch_range(offset=args.offset, limit=args.limit, query=args.domain))
+    elif args.action == "delete":
+        st.delete([args.domain])
+        print("[]")
     return 0
 
 
@@ -183,8 +228,21 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--headless", action="store_true", help="headless client")
     ex.add_argument("--csv", default=None, help="CSV file of URLs")
     ex.add_argument("--csv-column", type=int, default=1, help="1-based URL column")
+    ex.add_argument("--settings", default=None, help="domain-settings store dir (per-host routing)")
     ex.add_argument("urls", nargs="*")
     ex.set_defaults(fn=cmd_extract)
+
+    se = sub.add_parser("settings", help="domain settings CRUD (/settings/domain parity)")
+    se.add_argument("--store", required=True, help="settings store dir")
+    se.add_argument("action", choices=["get", "put", "search", "delete"])
+    se.add_argument("domain", nargs="?", default=None, help="domain (or search query)")
+    se.add_argument("--sitename", default=None)
+    se.add_argument("--fetch-client", default=None, dest="fetch_client")
+    se.add_argument("--user-agent", default=None, dest="user_agent")
+    se.add_argument("--header", action="append", help="K:V extra header (repeatable)")
+    se.add_argument("--offset", type=int, default=0)
+    se.add_argument("--limit", type=int, default=100)
+    se.set_defaults(fn=cmd_settings)
 
     fe = sub.add_parser("feed", help="parse RSS/Atom feeds → item links")
     fe.add_argument("--pages", required=True)

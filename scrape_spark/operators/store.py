@@ -334,9 +334,17 @@ class ManifestTable:
         recorded NOW (commit-time is the only moment the table layer ever
         stats a data file or opens a footer)."""
         out_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df = df.repartition(BUCKET_COL)
+        if self.stats_cols:
+            # order rows within each file by the stats columns (reference
+            # analog: the (expires DESC, ...) index, 00001_init.sql:30-33):
+            # row groups then carry tight min/max ranges, so the parquet
+            # reader skips whole row groups on pushed expiry filters — file-
+            # level manifest pruning above, row-group pruning below. Cost is
+            # one sort of the delta being committed.
+            df = df.sortWithinPartitions(BUCKET_COL, *self.stats_cols)
         (
-            df.repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
+            df.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )

@@ -158,3 +158,33 @@ def test_delete_and_ping_subcommands(spark, corpus_path, capsys, tmp_path):
     assert main(["ping", "--store", store]) == 0
     health = json.loads(capsys.readouterr().out)
     assert health["total_rows"] == 1
+
+
+def test_settings_subcommand_crud(spark, corpus_path, capsys, tmp_path):
+    """/settings/domain parity from the CLI: put → get → wildcard search →
+    delete, plus per-host routing into extract via --settings (the
+    chromium-headless fetch_client forces fetch_method 2 for that host)."""
+    sdir = str(tmp_path / "settings")
+    assert main(["settings", "--store", sdir, "put", "H00000.ex0.test",
+                 "--sitename", "Host Zero", "--fetch-client", "chromium-headless",
+                 "--user-agent", ":chrome:", "--header", "X-Tok:abc"]) == 0
+    row = json.loads(capsys.readouterr().out)[0]
+    assert row["domain"] == "h00000.ex0.test"  # case-folded (F9)
+    assert row["fetch_client"] == "chromium-headless"
+    assert row["headers"] == {"X-Tok": "abc"}
+    assert row["user_agent"].startswith("Mozilla/")  # UA alias expanded (K12)
+
+    assert main(["settings", "--store", sdir, "search", "h0000*"]) == 0
+    assert len(json.loads(capsys.readouterr().out)) == 1
+
+    # routing: host with chromium-headless settings gets fetch_method 2
+    assert main(["extract", "--pages", corpus_path, "--settings", sdir,
+                 page_url(0, 1), page_url(1, 1)]) == 0
+    rows = {r["original_url"]: r for r in json.loads(capsys.readouterr().out)}
+    assert rows[page_url(0, 1)]["fetch_method"] == 2
+    assert rows[page_url(1, 1)]["fetch_method"] == 1
+
+    assert main(["settings", "--store", sdir, "delete", "h00000.ex0.test"]) == 0
+    capsys.readouterr()
+    assert main(["settings", "--store", sdir, "get", "h00000.ex0.test"]) == 0
+    assert json.loads(capsys.readouterr().out) == []

@@ -445,3 +445,28 @@ def test_stats_is_single_action(spark, store):
     assert s["total_rows"] == 10 and s["fresh_rows"] == 10 and s["id_map_rows"] == 10
     # one action; AQE may split the union+aggregate into a couple of stages
     assert delta <= 3, delta
+
+
+def test_data_files_ordered_by_expires(spark, store):
+    """Files are written expires-ordered (W2: the (expires DESC, ...) index
+    analog) so parquet row groups carry tight min/max and expiry filters
+    skip row groups, not just manifest files."""
+    import random
+
+    rng = random.Random(7)
+    days = [rng.randrange(1, 28) for _ in range(200)]
+    _merge(spark, store, [
+        _result_row(f"https://example.com/ord{i}",
+                    expires=dt.datetime(2031, 3, 1 + d))
+        for i, d in enumerate(days)
+    ])
+    import pyarrow.parquet as pq
+    man = store.urls._load_manifest()
+    checked = 0
+    for fl in man["files"].values():
+        for e in fl:
+            col = pq.read_table(e["path"], columns=["expires"])["expires"].to_pylist()
+            if len(col) > 1:
+                assert col == sorted(col), e["path"]
+                checked += 1
+    assert checked > 0
