@@ -607,6 +607,77 @@ def jaccard_pairs_trigram(spark, sf):
     return jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", 0.5, ngram=3)
 
 
+_PAIRS_SQL = """WITH RECURSIVE base AS (SELECT doc_id,
+                            list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                     FROM documents),
+       sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+       inv AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+       inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                 FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT i, j
+                 FROM inter JOIN sizes sa ON inter.i = sa.doc_id
+                            JOIN sizes sb ON inter.j = sb.doc_id
+                 WHERE c::DOUBLE / (sa.n + sb.n - c) > 0.9)"""
+
+
+@_q(
+    "neardup_components",
+    _PAIRS_SQL
+    + """,
+       nodes AS (SELECT i AS node FROM pairs UNION SELECT j FROM pairs),
+       edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       reach(node, label) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+         WHERE r.label < e.b)
+       SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS component
+       FROM reach GROUP BY node""",
+)
+def neardup_components(spark, sf):
+    """Near-dup clustering: similar-pair edges (exact word-Jaccard > 0.9)
+    → connected components via distributed min-label propagation with
+    pointer jumping (dedupe.connected_components) — the step between pair
+    discovery and actually dropping duplicates. Oracle: DuckDB recursive
+    CTE computing label reachability closure over the same pairs."""
+    from scrape_spark.operators.dedupe import connected_components, jaccard_pairs
+
+    pairs = jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", 0.9, ngram=1)
+    return connected_components(pairs, "i", "j").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@_q(
+    "neardup_dedup",
+    _PAIRS_SQL
+    + """,
+       nodes AS (SELECT i AS node FROM pairs UNION SELECT j FROM pairs),
+       edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       reach(node, label) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+         WHERE r.label < e.b),
+       comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+       SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+       FROM documents d
+       WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)""",
+)
+def neardup_dedup(spark, sf):
+    """Corpus minus near-duplicates: one representative (min doc_id) per
+    component survives, untouched documents pass through."""
+    from scrape_spark.operators.dedupe import drop_near_duplicates, jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", 0.9, ngram=1)
+    return drop_near_duplicates(docs, "doc_id", pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 @_q("minhash_neardup")  # rows-only: LSH banding has no portable SQL analog;
 def minhash_neardup(spark, sf):  # recall/precision pinned by pytest instead
     from scrape_spark.operators.dedupe import minhash_neardup_pairs

@@ -329,3 +329,82 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pair edges → connected components → representatives
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels over an undirected pair-edge set, component
+    = the MIN node id in each component — the step a production dedup
+    pipeline needs between "similar pairs" (jaccard/minhash/simhash/
+    embedding discovery, all above) and "drop the duplicates".
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) every node takes the min label over itself and its neighbors
+    (one map-side-combinable shuffle over E), then (b) labels compress by
+    one pointer-jump hop (label := label[label], one join over N) — the
+    jump halves chain depth so convergence is O(log diameter) rounds, not
+    O(diameter); dense near-dup clusters converge in 2-3 rounds. Each
+    round is checkpointed locally (lineage stays flat across iterations —
+    on a cluster, swap localCheckpoint for a reliable checkpoint dir) and
+    ends with a single convergence count action. Deterministic: labels are
+    min() folds, independent of partitioning.
+    """
+    sym = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.min("a")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        stepped = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        l2 = stepped.select(
+            F.col("node").alias("__n2"), F.col("label").alias("__l2")
+        )
+        jumped = (
+            stepped.join(l2, stepped["label"] == l2["__n2"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("__l2"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "i", dst: str = "j"
+) -> DataFrame:
+    """Keep one representative per near-dup component (the min id) plus
+    every document in no pair at all."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

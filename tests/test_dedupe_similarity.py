@@ -196,3 +196,51 @@ def test_ann_topk_is_exact_and_ordered(spark, embeddings):
     assert [r.rk for r in out] == [1, 2, 3, 4, 5]
     sims = [r.sim_r for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label + pointer-jump CC must equal a driver-side
+    union-find on random graphs (dense clusters AND long chains — chains
+    are the depth case pointer jumping exists for)."""
+    import random
+
+    from scrape_spark.operators.dedupe import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(60)]  # one 61-node chain
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["i", "j"])
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "i", "j").collect()
+    }
+    assert got == want
+
+
+def test_drop_near_duplicates_keeps_representatives(spark):
+    from scrape_spark.operators.dedupe import drop_near_duplicates
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["i", "j"])
+    kept = {r.doc_id for r in drop_near_duplicates(docs, "doc_id", pairs).collect()}
+    assert kept == {0, 1, 4, 5, 6, 7, 9}  # 2,3 fold into 1; 8 folds into 7
