@@ -81,6 +81,19 @@ def cmd_settings(args) -> int:
 
     from scrape_spark.operators.settings import DomainSettingsStore
 
+    # argument validation BEFORE any Spark work: get/put/delete need a
+    # domain (the positional is optional only for `search`, where it is the
+    # wildcard query), and each --header must be K:V — otherwise a missing
+    # domain would silently upsert/query a NULL-domain row and a bad header
+    # would die in an unhandled ValueError traceback.
+    if args.action in ("get", "put", "delete") and not args.domain:
+        print(f"settings {args.action}: domain argument is required", file=sys.stderr)
+        return 2
+    for h in args.header or []:
+        if ":" not in h:
+            print(f"settings: --header {h!r} must be 'Key:Value'", file=sys.stderr)
+            return 2
+
     spark = _spark(args.cores)
     st = DomainSettingsStore(spark, args.store)
 

@@ -66,6 +66,14 @@ CUCKOO_SCHEMA = T.StructType(
     ]
 )
 
+# Slot-layout / hash-mapping version of the persisted filter. Bump whenever
+# the fingerprint→slot mapping changes (v2: the round-4 ``i1 = h1 & mask``
+# bias fix): a checkpointed filter from another format version probes and
+# deletes at the WRONG positions — silent false negatives with no rebuild
+# trigger. The crawl records this in each epoch's _COMMIT.json and
+# _load_cuckoo forces a full rebuild on mismatch.
+CUCKOO_FORMAT_VERSION = 2
+
 SLOTS_PER_BUCKET = 4
 _FPH = np.uint64(0xBF58476D1CE4E5B9)  # same mixing constant family as bloom
 _MAX_KICKS = 500

@@ -60,6 +60,7 @@ from scrape_spark.functions.urlkeys import (
 )
 from scrape_spark.operators.bloom import build_bloom, probe_bloom
 from scrape_spark.operators.cuckoo import (
+    CUCKOO_FORMAT_VERSION,
     CUCKOO_SCHEMA,
     build_cuckoo,
     probe_cuckoo,
@@ -292,7 +293,11 @@ class Crawl:
         consistently or deletes go unbalanced (see run_epoch)."""
         path = os.path.join(prev_dir, "seenfilter.parquet")
         wm_prev = (committed or {}).get("seen_filter_wm")
-        if not os.path.exists(path) or wm_prev is None:
+        # format guard: a filter persisted under a different slot-layout
+        # version (or before versions were recorded) would probe/delete at
+        # the wrong positions — rebuild instead of advancing it
+        fmt_ok = (committed or {}).get("seen_filter_format") == CUCKOO_FORMAT_VERSION
+        if not os.path.exists(path) or wm_prev is None or not fmt_ok:
             return build_cuckoo(
                 self._cuckoo_multiset(fresh_keys, attempted), "key", self.cfg.n_buckets
             )
@@ -455,9 +460,19 @@ class Crawl:
             # execution into a later delete window without ever inserting
             # them: deleting a never-inserted key can strip a colliding live
             # key's copy (false negative — the one property the crawl needs).
-            cuckoo_fresh = fresh_store.filter(
-                F.col("expires") > F.timestamp_seconds(F.lit(wm_now))
-            ).select("key")
+            # RAW (unresolved) row versions, not the resolved fresh_store:
+            # the filter's delete side scans raw generations (one expiry
+            # delete per committed generation, _load_cuckoo), so rebuilds
+            # must contribute one store copy PER GENERATION too. Building
+            # from the resolved view (one copy per key) under-counts keys
+            # holding >=2 fresh generations (e.g. a foreign writer re-merged
+            # a still-fresh key), and later delete windows would strip more
+            # copies than were inserted — a false negative.
+            cuckoo_fresh = (
+                self.store.urls.read(snapshot=store_snap, resolve=False)
+                .filter(F.col("expires") > F.timestamp_seconds(F.lit(wm_now)))
+                .select("key")
+            )
             pre_filter = self._load_cuckoo(
                 prev, committed, wm_now, cuckoo_fresh, attempted, store_snap
             ).cache()
@@ -697,6 +712,7 @@ class Crawl:
         }
         if filt_kind == "cuckoo":
             stats["seen_filter_wm"] = wm_now
+            stats["seen_filter_format"] = CUCKOO_FORMAT_VERSION
         tmp = os.path.join(edir, "_COMMIT.json.tmp")
         with open(tmp, "w") as f:
             json.dump(stats, f)

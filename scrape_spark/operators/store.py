@@ -685,9 +685,15 @@ class UrlStore:
 
     # -- delete (S10): canonical key only; aliases survive ---------------------
     def delete(self, urls: list[str]) -> int:
+        """Delete rows keyed by the given URLs' OWN keys — no alias
+        resolution. The reference's Delete "only works for canonical URLs"
+        (internal/storage/storage.go:232-236 keys on the given URL and is
+        explicitly "not accounting for lookup keys"; pinned by
+        storage_test.go:161-174): deleting by a requested/redirect-source
+        URL is a no-op, deleting by the canonical URL drops the store row
+        while id_map alias rows survive."""
         req = self.spark.createDataFrame([(u,) for u in urls], ["u"])
-        req = req.withColumn("key", url_key(clean_url("u")))
-        resolved = self.resolve_keys(req).select(F.col("canonical_key").alias("key"))
+        resolved = req.select(url_key(clean_url("u")).alias("key"))
         touched = self.urls.touched_buckets(resolved)
         if not touched:
             cur = self.urls.current_snapshot()

@@ -160,6 +160,19 @@ def test_delete_and_ping_subcommands(spark, corpus_path, capsys, tmp_path):
     assert health["total_rows"] == 1
 
 
+def test_settings_argument_validation(capsys, tmp_path):
+    """Round-4 ADVICE: get/put/delete without a domain must exit cleanly
+    (not upsert/query a NULL-domain row), and a --header without ':' must
+    be a clear error, not a ValueError traceback."""
+    sdir = str(tmp_path / "sv")
+    for action in ("get", "put", "delete"):
+        assert main(["settings", "--store", sdir, action]) == 2
+        assert "domain argument is required" in capsys.readouterr().err
+    assert main(["settings", "--store", sdir, "put", "d.test",
+                 "--header", "noseparator"]) == 2
+    assert "must be 'Key:Value'" in capsys.readouterr().err
+
+
 def test_settings_subcommand_crud(spark, corpus_path, capsys, tmp_path):
     """/settings/domain parity from the CLI: put → get → wildcard search →
     delete, plus per-host routing into extract via --settings (the

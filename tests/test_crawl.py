@@ -365,6 +365,117 @@ def test_external_store_writer_triggers_filter_rebuild(spark, tmp_path_factory, 
     assert builds["n"] >= 2, builds
 
 
+def test_cuckoo_format_version_mismatch_forces_rebuild(
+    spark, tmp_path_factory, pages, model
+):
+    """Round-4 ADVICE: a persisted seenfilter.parquet written under a
+    different slot-layout version (e.g. before the i1-bias fix changed the
+    fingerprint→slot mapping) must NOT be advanced incrementally — probes
+    and deletes would hit the wrong positions with no rebuild trigger. The
+    loader records CUCKOO_FORMAT_VERSION in _COMMIT.json and falls back to
+    a full rebuild on mismatch; the crawl stays bit-identical to the
+    model."""
+    import json
+    import os
+
+    import scrape_spark.operators.frontier as fr
+
+    tmpdir = str(tmp_path_factory.mktemp("crawl_fmt"))
+    crawl = _mk_crawl(spark, tmpdir, pages, use_bloom=False, seen_filter="cuckoo")
+    crawl.seed(seed_urls(N_HOSTS))
+    crawl.run_epoch(0)
+    crawl.run_epoch(1)
+    # simulate a checkpoint from an older filter format (run_epoch(2) reads
+    # its committed state from epoch 1's _COMMIT.json)
+    cpath = f"{crawl.state_dir}/epochs/e00001/_COMMIT.json"
+    with open(cpath) as f:
+        committed = json.load(f)
+    assert committed["seen_filter_format"] == fr.CUCKOO_FORMAT_VERSION
+    committed["seen_filter_format"] = fr.CUCKOO_FORMAT_VERSION - 1
+    with open(cpath, "w") as f:
+        json.dump(committed, f)
+
+    builds = {"n": 0}
+    orig_build = fr.build_cuckoo
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return orig_build(*a, **kw)
+
+    fr.build_cuckoo = counting_build
+    try:
+        for epoch in range(2, N_EPOCHS):
+            crawl.run_epoch(epoch)
+    finally:
+        fr.build_cuckoo = orig_build
+    assert builds["n"] >= 1, "format mismatch did not trigger a full rebuild"
+    got = {r.key for r in crawl.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_cuckoo_build_counts_store_copies_per_generation(
+    spark, tmp_path_factory, pages
+):
+    """Round-4 ADVICE: the filter's initial build / rebuild multiset must
+    hold one store copy per RAW delta generation (expiry deletes are issued
+    per generation via read_in_range), not per resolved key. A key merged
+    twice (2 fresh generations) must survive ONE delete with its second
+    copy still probing positive — otherwise later watermark windows delete
+    more copies than were inserted (false negative)."""
+    import datetime as dt
+
+    from scrape_spark.functions.urlkeys import url_key_py
+    from scrape_spark.operators.cuckoo import probe_cuckoo, update_cuckoo
+    from scrape_spark.schemas import RESULT_SCHEMA
+    from tests.test_store import _result_row
+
+    tmpdir = str(tmp_path_factory.mktemp("crawl_gen"))
+    store = UrlStore(spark, f"{tmpdir}/store", n_buckets=8)
+    victim = "https://external.test/dup"
+    far = dt.datetime(2099, 1, 1)
+    for title in ("gen1", "gen2"):  # two commits -> two delta generations
+        store.merge(
+            spark.createDataFrame(
+                [_result_row(victim, title=title, expires=far)], RESULT_SCHEMA
+            )
+        )
+    raw = store.urls.read(resolve=False)
+    vkey = url_key_py(victim)
+    assert raw.filter(F.col("key") == vkey).count() == 2
+
+    crawl = Crawl(
+        spark,
+        f"{tmpdir}/state",
+        store,
+        pages,
+        robots_table(spark, N_HOSTS),
+        CrawlConfig(
+            epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+            use_bloom=False, seen_filter="cuckoo", shuffle_partitions=4,
+        ),
+    )
+    crawl.seed(seed_urls(1))
+    crawl.run_epoch(0)
+
+    from scrape_spark.operators.cuckoo import CUCKOO_SCHEMA
+
+    ck = spark.read.schema(CUCKOO_SCHEMA).parquet(
+        f"{crawl.state_dir}/epochs/e00001/seenfilter.parquet"
+    )
+    kdf = spark.createDataFrame([(vkey,)], "key long")
+    after_one_delete = update_cuckoo(ck, inserts=None, deletes=kdf, n_buckets=8)
+    probed = probe_cuckoo(kdf, after_one_delete, n_buckets=8).collect()
+    assert len(probed) == 1 and probed[0].maybe_seen, (
+        "second generation's filter copy was not inserted at build time"
+    )
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def test_robots_discovered_from_corpus_matches_model(spark, tmp_path_factory, pages, model):
     """robots=None: the crawl must fetch /robots.txt pages from the corpus
     itself, parse them (RFC 9309), and reach EXACTLY the behavior of the

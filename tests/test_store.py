@@ -120,9 +120,14 @@ def test_canonical_only_delete(spark, store):
     canonical = "https://example.com/x"
     _merge(spark, store, [_result_row(requested, canonical=canonical)])
     n_aliases = store.id_map.read().count()
+    # "Delete only works for canonical URLs" (storage_test.go:161-174):
+    # deleting by the requested/alias URL is a NO-OP — the reference keys
+    # Delete on the given URL without alias resolution (storage.go:232-236)
     store.delete([requested])
+    assert store.urls.read().count() == 1
+    store.delete([canonical])
     assert store.urls.read().count() == 0
-    # alias rows are NOT deleted (storage_test.go:161-174)
+    # alias rows are NOT deleted either way
     assert store.id_map.read().count() == n_aliases
 
 
