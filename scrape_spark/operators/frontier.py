@@ -68,7 +68,12 @@ from scrape_spark.operators.cuckoo import (
     update_cuckoo,
 )
 from scrape_spark.operators.store import UrlStore
-from scrape_spark.plans.batch_extract import fetch_join, finalize_results
+from scrape_spark.plans.batch_extract import (
+    IMPLAUSIBLE_SIZE_BYTES,
+    _plan_size_bytes,
+    fetch_join,
+    finalize_results,
+)
 from scrape_spark.schemas import FRONTIER_SCHEMA
 
 ATTEMPTED_SCHEMA = T.StructType(
@@ -349,6 +354,19 @@ class Crawl:
         )
 
     # ---- corpus-discovered robots ------------------------------------------
+    def _robots_state_bytes(self, epoch: int) -> int:
+        """On-disk bytes of the accumulated robots state — the part of the
+        discovered-robots table that grows across epochs (this epoch's delta
+        is bounded by the new-host probe). Feeds the broadcast size gate."""
+        path = os.path.join(self._edir(epoch), "robots_state.parquet")
+        if not os.path.isdir(path):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+
     def _robots_for_epoch(self, epoch: int, frontier: DataFrame) -> DataFrame:
         """Robots discovery (robots=None mode): fetch /robots.txt for hosts
         newly seen in the frontier from the pages corpus, parse (RFC 9309,
@@ -382,13 +400,26 @@ class Crawl:
             else F.col("html").cast("string")
         )
         corpus = self.pages.select(F.col("url").alias("__rurl"), body.alias("robots_txt"))
-        found = corpus.join(F.broadcast(missing), "__rurl", "inner")
-        absent = missing.join(
-            corpus.select("__rurl"), "__rurl", "left_anti"
-        ).withColumn("robots_txt", F.lit(None).cast("string"))
-        fetched = found.select("host", "robots_txt").unionByName(
-            absent.select("host", "robots_txt")
+        # hosts WITH a robots.txt page: inner broadcast-probe join — the
+        # corpus streams in place, zero corpus shuffle. Cached because both
+        # union arms below reference it (the absent-host derivation must not
+        # trigger a second corpus scan); host-dimension rows, bounded by the
+        # probe.
+        found = (
+            corpus.join(F.broadcast(missing), "__rurl", "inner")
+            .select("host", "robots_txt")
+            .cache()
         )
+        self._epoch_caches.append(found)
+        # hosts WITHOUT one: derived from `found` — NOT an anti-join against
+        # the corpus url column. That shape put the corpus on the build side
+        # of an O(corpus) shuffle every epoch (the corpus cannot broadcast),
+        # breaking the cost-∝-new-hosts claim; this one touches only
+        # host-dimension rows.
+        absent = missing.select("host").join(
+            found.select("host"), "host", "left_anti"
+        ).withColumn("robots_txt", F.lit(None).cast("string"))
+        fetched = found.unionByName(absent.select("host", "robots_txt"))
         parsed = parse_robots(
             fetched, user_agent=self.cfg.user_agent, host_col="host", txt_col="robots_txt"
         )
@@ -502,9 +533,28 @@ class Crawl:
         if self.robots is None:
             robots_df = self._robots_for_epoch(epoch, frontier).cache()
             self._epoch_caches.append(robots_df)
+            # the growing part of the discovered table is the accumulated
+            # on-disk state; this epoch's delta is bounded by the new-host
+            # probe (already broadcast inside the discovery join)
+            robots_bytes = self._robots_state_bytes(epoch)
         else:
             robots_df = self.robots
-        fr = frontier.join(F.broadcast(robots_df), "host", "left")
+            robots_bytes = _plan_size_bytes(robots_df)
+            if robots_bytes is not None and robots_bytes >= IMPLAUSIBLE_SIZE_BYTES:
+                robots_bytes = None  # stat-less plan ⇒ unknown, not huge
+        # Size-gated broadcast — same discipline as resolve_keys' id_map
+        # (store.py): the robots table is host-dimension state that GROWS
+        # with discovered hosts; at 10^7-10^8 hosts × rule arrays an
+        # unconditional broadcast is a driver/executor OOM. Broadcast only
+        # when provably small (None = unknown ⇒ don't); otherwise a plain
+        # equi-join on host and AQE picks the physical strategy.
+        robots_join_side = robots_df
+        if (
+            robots_bytes is not None
+            and robots_bytes <= self.store.broadcast_threshold_bytes
+        ):
+            robots_join_side = F.broadcast(robots_df)
+        fr = frontier.join(robots_join_side, "host", "left")
         path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
         fields = {f.name: f.dataType for f in robots_df.schema.fields}
         dis_t = fields.get("disallow")

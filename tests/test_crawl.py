@@ -476,6 +476,91 @@ def test_cuckoo_build_counts_store_copies_per_generation(
     shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def test_robots_discovery_no_corpus_antijoin(spark, tmp_path_factory, pages):
+    """Round-4 VERDICT finding 1: the absent-host branch of robots discovery
+    must derive from the already-probed `found` rows (host-dimension,
+    bounded), never anti-join against the corpus url column — the corpus
+    cannot broadcast as the build side of that anti-join, so the old shape
+    shuffled the url column of the WHOLE corpus every epoch."""
+    from scrape_spark.schemas import FRONTIER_SCHEMA
+
+    tmpdir = str(tmp_path_factory.mktemp("robots_plan"))
+    store = UrlStore(spark, f"{tmpdir}/store", n_buckets=8)
+    crawl = Crawl(
+        spark, f"{tmpdir}/state", store, pages, None,
+        CrawlConfig(epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+                    shuffle_partitions=4),
+    )
+    crawl.seed(seed_urls(N_HOSTS))
+    crawl._epoch_caches = []
+    frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+        f"{crawl.state_dir}/epochs/e00000/frontier.parquet"
+    )
+    robots_df = crawl._robots_for_epoch(0, frontier)
+    plan = robots_df._jdf.queryExecution().optimizedPlan().toString()
+    anti_lines = [ln for ln in plan.splitlines() if "Join LeftAnti" in ln]
+    assert anti_lines, plan
+    for ln in anti_lines:
+        # the anti-join key is the host dimension, never the corpus url col
+        assert "__rurl" not in ln and "host" in ln, ln
+    for df in crawl._epoch_caches:
+        df.unpersist()
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_robots_broadcast_is_size_gated(spark, tmp_path_factory, pages, model):
+    """Round-4 VERDICT finding 2: the robots rules table grows with
+    discovered hosts, so its broadcast must be size-gated like the id_map
+    join. With the gate forced shut (threshold 0) no robots-shaped frame
+    may be broadcast, and the crawl must still match the model exactly
+    (plain equi-join on host, AQE strategy)."""
+    import scrape_spark.operators.frontier as fr_mod
+
+    tmpdir = str(tmp_path_factory.mktemp("robots_gate"))
+    crawl = _mk_crawl(spark, tmpdir, pages)
+    crawl.store.broadcast_threshold_bytes = 0  # force "too big to broadcast"
+    robots_cols = set(crawl.robots.columns)
+    calls: list = []
+    orig = fr_mod.F.broadcast
+
+    def recording(df):
+        calls.append(set(df.columns))
+        return orig(df)
+
+    fr_mod.F.broadcast = recording
+    try:
+        crawl.run(N_EPOCHS, seeds=seed_urls(N_HOSTS))
+        gated_calls = list(calls)
+        # positive control: a small robots table under the default threshold
+        # IS broadcast (the gate, not the recorder, is what changed). Uses
+        # the discovery path, whose gate keys on the on-disk state size; an
+        # in-memory prepared table is stat-less (Long.MaxValue = unknown)
+        # and correctly falls to the plain join + AQE.
+        calls.clear()
+        ctl_dir = str(tmp_path_factory.mktemp("robots_gate_ctl"))
+        ctl_store = UrlStore(spark, f"{ctl_dir}/store", n_buckets=8)
+        ctl = Crawl(
+            spark, f"{ctl_dir}/state", ctl_store, pages, None,
+            CrawlConfig(epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+                        shuffle_partitions=4),
+        )
+        ctl.seed(seed_urls(N_HOSTS))
+        ctl.run_epoch(0)
+        control_calls = list(calls)
+    finally:
+        fr_mod.F.broadcast = orig
+    assert any(robots_cols <= c for c in control_calls), control_calls
+    assert not any(robots_cols <= c for c in gated_calls), gated_calls
+    shutil.rmtree(ctl_dir, ignore_errors=True)
+    got = {r.key for r in crawl.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def test_robots_discovered_from_corpus_matches_model(spark, tmp_path_factory, pages, model):
     """robots=None: the crawl must fetch /robots.txt pages from the corpus
     itself, parse them (RFC 9309), and reach EXACTLY the behavior of the
