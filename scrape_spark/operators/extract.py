@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -35,7 +36,13 @@ from pyspark.sql import types as T
 #     JSON-LD datePublished date fallbacks (go-trafilatura tolerance,
 #     fetch/trafilatura/fetcher.go:108-135). v2 outputs are byte-stable —
 #     v3 only widens what real-world-messy pages yield.
-EXTRACT_SPEC_VERSION = 3
+# v4: link harvest accepts single-quoted/unquoted hrefs and RESOLVES
+#     relative references against the page URL (the reference resolves via
+#     trafilatura's OriginalURL option, fetch/trafilatura/fetcher.go:89-95).
+#     A real site's intra-site links are overwhelmingly relative — without
+#     this a BFS crawl over real HTML discovers almost nothing. Text and
+#     metadata outputs are byte-stable under v3.
+EXTRACT_SPEC_VERSION = 4
 
 # Output columns appended by the extractor.
 EXTRACT_FIELDS = [
@@ -138,8 +145,126 @@ def _meta(h: pd.Series, attr: str, key: str) -> pd.Series:
     return _unescape(v)
 
 
-def extract_batch(html: pd.Series) -> pd.DataFrame:
-    """Vectorized extraction over one Arrow batch of raw page bytes."""
+# href in EITHER quote style or unquoted (spec v4); groups coalesced in
+# harvest. Lazy [^>]*? + one alternation measured at parity with the old
+# rigid double-quote pattern on the synthetic corpus (~0.07 s / 20k pages).
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^"'\s>][^\s>]*))"""
+
+# link classification (subset of RFC 3986 reference forms)
+_ABS_RE = r"(?i)https?://"
+_SCHEME_RE = r"(?i)[a-z][a-z0-9+.\-]*:"
+
+
+def _resolve_links(lists: pd.Series, base: pd.Series | None) -> pd.Series:
+    """Resolve each row's harvested hrefs against that row's page URL —
+    fully positional numpy over the flattened link multiset (no per-row
+    Python in the hot shapes; index alignment is never used because the
+    flattened frame has duplicate row labels by construction).
+
+    Forms resolved: absolute http(s) (kept as-is), protocol-relative
+    (``//host/p`` → base scheme), root-relative (``/p``), query-only
+    (``?q``), and plain relative incl. ``./``/``../`` dot segments
+    (normalized RFC 3986-style). Dropped: other schemes (mailto:,
+    javascript:), bare fragments (self-references), empty hrefs, and
+    relative forms when no base URL is available."""
+    n = len(lists)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series([[] for _ in range(n)], index=lists.index, dtype=object)
+    rowid = np.repeat(np.arange(n), lens)
+    flat_np = np.array([v for x in lists for v in x], dtype=object)
+    flat = pd.Series(flat_np)  # RangeIndex — unique, positional
+    keep = np.full(total, None, dtype=object)
+    is_abs = flat.str.match(_ABS_RE).to_numpy(dtype=bool)
+    keep[is_abs] = flat_np[is_abs]
+    rest_mask = ~is_abs
+    if base is not None and rest_mask.any():
+        b = pd.Series(base.to_numpy(dtype=object))
+        nofq = b.str.replace(r"[?#].*$", "", regex=True)
+        comp = nofq.str.extract(
+            r"(?i)^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)$"
+        )
+        scheme = comp["scheme"].to_numpy(dtype=object)
+        origin = (comp["scheme"] + "://" + comp["auth"]).to_numpy(dtype=object)
+        pdir = comp["path"].str.replace(r"[^/]*$", "", regex=True)
+        pdir = pdir.where(pdir.str.len() > 0, "/").to_numpy(dtype=object)
+        pfull = comp["path"].where(comp["path"].str.len() > 0, "/").to_numpy(dtype=object)
+
+        rid = rowid[rest_mask]
+        rest = pd.Series(flat_np[rest_mask])
+        rest_np = flat_np[rest_mask]
+        starts_slash = rest.str.startswith("/").to_numpy(dtype=bool)
+        proto_rel = rest.str.startswith("//").to_numpy(dtype=bool)
+        root_rel = starts_slash & ~proto_rel
+        frag = rest.str.startswith("#").to_numpy(dtype=bool)
+        query = rest.str.startswith("?").to_numpy(dtype=bool)
+        empty = rest.str.len().eq(0).to_numpy(dtype=bool)
+        other_scheme = (
+            rest.str.match(_SCHEME_RE).to_numpy(dtype=bool)
+            & ~starts_slash & ~frag & ~query & ~empty
+        )
+        plain = ~(starts_slash | frag | query | other_scheme | empty)
+        ok = pd.Series(origin[rid]).notna().to_numpy(dtype=bool)  # parseable base
+
+        sub = np.full(len(rest_np), None, dtype=object)
+        m = proto_rel & ok
+        if m.any():
+            sub[m] = scheme[rid][m] + np.array(":", dtype=object) + rest_np[m]
+        pth = np.full(len(rest_np), None, dtype=object)
+        m = root_rel & ok
+        if m.any():
+            pth[m] = rest_np[m]
+        m = plain & ok
+        if m.any():
+            pth[m] = pdir[rid][m] + rest_np[m]
+        pmask = (root_rel | plain) & ok
+        if pmask.any():
+            ser = pd.Series(pth[pmask], dtype=object)
+            need = ser.str.contains("/.", regex=False).to_numpy(dtype=bool)
+            if need.any():  # dot-segment normalization, minority pass
+                nv = ser[need]
+                for _ in range(10):
+                    before = nv
+                    nv = nv.str.replace(r"/\./", "/", regex=True)
+                    nv = nv.str.replace(r"/\.$", "/", regex=True)
+                    nv = nv.str.replace(r"/(?!\.\./)[^/]+/\.\.(?:/|$)", "/", regex=True)
+                    nv = nv.str.replace(r"^(?:/\.\.)+(?:/|$)", "/", regex=True)
+                    if nv.equals(before):
+                        break
+                ser2 = ser.to_numpy(dtype=object)
+                ser2[need] = nv.to_numpy(dtype=object)
+                pth[pmask] = ser2
+            sub[pmask] = origin[rid][pmask] + pth[pmask]
+        m = query & ok
+        if m.any():
+            sub[m] = origin[rid][m] + pfull[rid][m] + rest_np[m]
+        keep[rest_mask] = sub
+    final = pd.Series(keep).notna().to_numpy(dtype=bool)
+    kept_rows = rowid[final]
+    kept_vals = keep[final]
+    cuts = np.searchsorted(kept_rows, np.arange(n + 1))
+    return pd.Series(
+        [kept_vals[cuts[i]:cuts[i + 1]].tolist() for i in range(n)],
+        index=lists.index,
+        dtype=object,
+    )
+
+
+def harvest_links(h: pd.Series, base: pd.Series | None = None) -> pd.Series:
+    """Spec-v4 link harvest: all <a href> values (either quote style or
+    unquoted), resolved absolute against the per-row page URL."""
+    found = h.str.findall(_HREF_RE)
+    found = found.map(
+        lambda xs: [a or b or c for (a, b, c) in xs] if isinstance(xs, list) else []
+    )
+    return _resolve_links(found, base)
+
+
+def extract_batch(html: pd.Series, base_url: pd.Series | None = None) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch of raw page bytes.
+    ``base_url`` (positionally aligned with ``html``) enables relative-link
+    resolution; without it only absolute http(s) links are harvested."""
     n = len(html)
     raw = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
     raw = raw.astype(object)  # object dtype: no extension-array copy of the corpus
@@ -246,8 +371,7 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
         if hit.any():
             content[rescored.index[hit]] = rescored[hit]
 
-    links = h.str.findall(r'<a\s[^>]*href="(https?://[^"]+)"')
-    links = links.map(lambda xs: list(xs) if isinstance(xs, list) else [])
+    links = harvest_links(h, base_url)
 
     def _nul(s: pd.Series) -> pd.Series:
         s = s.astype(object).where(s.notna(), None)
@@ -275,17 +399,32 @@ def extract_batch(html: pd.Series) -> pd.DataFrame:
     )
 
 
-def extract_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_pages(
+    df: DataFrame, html_col: str = "html", base_col: str | None = None
+) -> DataFrame:
     """Append extraction columns; passes through every input column except
     the raw html bytes (dropped post-extraction — the reference never stores
-    bodies either, SURVEY.md §1.2)."""
+    bodies either, SURVEY.md §1.2).
+
+    ``base_col`` names the page-URL column relative links resolve against
+    (spec v4; reference analog: trafilatura's OriginalURL resolution,
+    fetch/trafilatura/fetcher.go:89-95). Auto-detected when None:
+    ``__page_url`` (the URL actually served, i.e. the redirect target on
+    hops) before the requested ``parsed_url``/``url``."""
+    if base_col is None:
+        for c in ("__page_url", "parsed_url", "url"):
+            if c in df.columns and c != html_col:
+                base_col = c
+                break
     passthrough = [f for f in df.schema.fields if f.name != html_col]
     out_schema = T.StructType(passthrough + EXTRACT_FIELDS)
     pass_names = [f.name for f in passthrough]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ext = extract_batch(pdf[html_col])
+            ext = extract_batch(
+                pdf[html_col], pdf[base_col] if base_col else None
+            )
             base = pdf[pass_names].reset_index(drop=True)
             yield pd.concat([base, ext], axis=1)
 

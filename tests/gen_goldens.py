@@ -152,7 +152,7 @@ def build_golden() -> dict:
         GOLDEN_HOSTS,
         GOLDEN_PER_HOST,
     )
-    ext = extract_batch(corpus["html"])
+    ext = extract_batch(corpus["html"], corpus["url"])  # spec v4: resolved links
     recs = {}
     for i in range(len(corpus)):
         row = ext.iloc[i]

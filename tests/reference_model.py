@@ -25,7 +25,7 @@ DEFAULT_CRAWL_DELAY = 1.0
 
 def build_corpus(n_hosts: int, per_host: int) -> dict[str, dict]:
     pdf = _gen_batch(pd.DataFrame({"id": range(n_hosts * per_host)}), n_hosts, per_host)
-    ext = extract_batch(pdf["html"])
+    ext = extract_batch(pdf["html"], pdf["url"])  # spec v4: resolve vs page URL
     corpus = {}
     for i in range(len(pdf)):
         corpus[pdf["url"].iloc[i]] = {

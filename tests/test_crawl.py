@@ -598,3 +598,71 @@ def test_robots_discovered_from_corpus_matches_model(spark, tmp_path_factory, pa
     assert [r["like"] for r in one.disallow] == ["/private/%"]
     assert one.crawl_delay == 0.5
     shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_crawl_discovers_relative_links(spark, tmp_path_factory):
+    """Spec v4 (round-4 VERDICT top task): a BFS crawl over pages whose
+    links are relative / single-quoted / unquoted / protocol-relative must
+    reach EXACTLY the frontier an absolute-double-quoted corpus reaches —
+    real-world intra-site links are overwhelmingly relative, and before v4
+    the harvest silently discovered nothing on such pages."""
+    from scrape_spark.schemas import ROBOTS_SCHEMA
+
+    def pg(title, links):
+        body = " ".join(f"<a href={l}>x</a>" for l in links)
+        return (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<article><p>Page {title} body text.</p>{body}</article>"
+            "</body></html>"
+        ).encode()
+
+    # absolute targets (corpus A writes these verbatim)
+    targets0 = [
+        '"https://rel0.test/a/p1.html"',
+        '"https://rel0.test/b/p2.html"',
+        '"https://rel1.test/a/p0.html"',
+        '"https://rel0.test/missing"',
+    ]
+    # the same targets as relative/messy forms (corpus B), resolved against
+    # page url https://rel0.test/a/p0.html
+    targets0_rel = ["'p1.html'", '"../b/p2.html"', "//rel1.test/a/p0.html",
+                    '"/missing"']
+    corpora = {}
+    for name, t0, t1, t2 in (
+        ("abs", targets0, ['"https://rel0.test/a/p3.html"'], ['"https://rel1.test/a/p1.html"']),
+        ("rel", targets0_rel, ['"./p3.html"'], ["'p1.html'"]),
+    ):
+        rows = [
+            ("https://rel0.test/a/p0.html", pg("p0", t0)),
+            ("https://rel0.test/a/p1.html", pg("p1", t1)),
+            ("https://rel0.test/b/p2.html", pg("p2", [])),
+            ("https://rel1.test/a/p0.html", pg("q0", t2)),
+            ("https://rel0.test/a/p3.html", pg("p3", [])),
+            ("https://rel1.test/a/p1.html", pg("q1", [])),
+        ]
+        corpora[name] = spark.createDataFrame(rows, "url string, html binary")
+
+    results = {}
+    for name, pages_df in corpora.items():
+        tmpdir = str(tmp_path_factory.mktemp(f"rel_{name}"))
+        crawl = Crawl(
+            spark, f"{tmpdir}/state", UrlStore(spark, f"{tmpdir}/store", n_buckets=8),
+            pages_df, spark.createDataFrame([], ROBOTS_SCHEMA),
+            CrawlConfig(epoch_seconds=10.0, max_depth=6, n_buckets=8,
+                        shuffle_partitions=4),
+        )
+        crawl.run(4, seeds=["https://rel0.test/a/p0.html"])
+        sel = [
+            _selected_tuples(spark, crawl, e)
+            for e in range(crawl.last_committed_epoch() + 1)
+        ]
+        keys = {r.key for r in crawl.store.urls.read().select("key").collect()}
+        results[name] = (sel, keys)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    assert results["rel"] == results["abs"]
+    # sanity: discovery actually crossed depths and the missing page was tried
+    sel_abs = results["abs"][0]
+    all_urls = {t[1] for ep in sel_abs for t in ep}
+    assert "https://rel0.test/missing" in all_urls
+    assert "https://rel1.test/a/p1.html" in all_urls  # depth-2 cross-host

@@ -143,3 +143,78 @@ def test_metadata_robustness_goldens(spark, golden):
     lc = rows["https://meta.test/link-canonical"]
     assert lc.canonical_url == "https://meta.test/the-canonical"  # href-before-rel
     assert lc.license == "https://creativecommons.org/licenses/by-sa/4.0/"
+
+
+def test_link_resolution_matches_urljoin():
+    """Spec v4: the vectorized relative-link resolver must agree with
+    urllib.parse.urljoin on every RFC 3986 reference form it claims to
+    resolve (absolute, protocol-relative, root-relative, query-only, plain
+    relative with ./ and ../ dot segments, excess ../ at root)."""
+    from urllib.parse import urljoin
+
+    import pandas as pd
+
+    from scrape_spark.operators.extract import _resolve_links
+
+    cases = [
+        ("https://ex.test/a/b/page.html", "c.html"),
+        ("https://ex.test/a/b/page.html", "./c.html"),
+        ("https://ex.test/a/b/page.html", "../c.html"),
+        ("https://ex.test/a/b/page.html", "../../c.html"),
+        ("https://ex.test/a/b/page.html", "../../../c.html"),  # excess ../
+        ("https://ex.test/a/b/page.html", "/root.html"),
+        ("https://ex.test/a/b/page.html", "//other.test/x"),
+        ("https://ex.test/a/b/page.html", "?q=1"),
+        ("https://ex.test/a/b/page.html", "https://abs.test/x"),
+        ("https://ex.test/a/b/page.html", "sub/dir/../x.html"),
+        ("https://ex.test/a/b/page.html", "a/./b/./c"),
+        ("https://ex.test", "rel.html"),       # authority-only base
+        ("https://ex.test/", "rel.html"),
+        ("https://ex.test/a/", ".."),
+        ("https://ex.test/a/b/", "../"),
+        ("http://ex.test/p?x=1#f", "q.html"),  # base query/frag stripped
+        ("https://ex.test/a/b/page.html", "x.html?y=2#z"),
+    ]
+    bases = pd.Series([b for b, _ in cases], dtype=object)
+    lists = pd.Series([[h] for _, h in cases], dtype=object)
+    got = _resolve_links(lists, bases)
+    for i, (b, h) in enumerate(cases):
+        assert got.iloc[i] == [urljoin(b, h)], (b, h, got.iloc[i])
+
+    # dropped forms: bare fragments, non-http schemes, empty hrefs; and
+    # every relative form when no base is available
+    drops = ["#frag", "mailto:x@y", "javascript:void(0)", ""]
+    got2 = _resolve_links(
+        pd.Series([[h] for h in drops], dtype=object),
+        pd.Series(["https://ex.test/a"] * len(drops), dtype=object),
+    )
+    for i, h in enumerate(drops):
+        assert got2.iloc[i] == [], h
+    got3 = _resolve_links(pd.Series([["https://a.test/x", "/rel", "r.html"]]), None)
+    assert got3.iloc[0] == ["https://a.test/x"]
+
+
+def test_link_harvest_quote_styles():
+    """Spec v4 harvest: double-quoted, single-quoted, and unquoted hrefs are
+    all captured, in document order, and resolved against the page URL."""
+    import pandas as pd
+
+    from scrape_spark.operators.extract import harvest_links
+
+    html = (
+        '<html><body>'
+        '<a href="https://abs.test/one">1</a> '
+        "<a href='/two'>2</a> "
+        "<a class='x' href=three.html>3</a> "
+        '<a href="#top">skip</a>'
+        "</body></html>"
+    )
+    got = harvest_links(
+        pd.Series([html], dtype=object),
+        pd.Series(["https://base.test/dir/page.html"], dtype=object),
+    )
+    assert got.iloc[0] == [
+        "https://abs.test/one",
+        "https://base.test/two",
+        "https://base.test/dir/three.html",
+    ]
