@@ -251,6 +251,47 @@ def _resolve_links(lists: pd.Series, base: pd.Series | None) -> pd.Series:
     )
 
 
+_CHARSET_HDR_RE = r"(?i)charset\s*=\s*\"?([\w.\-]+)"
+_CHARSET_META_RE = r"(?i)<meta\s+charset\s*=\s*[\"']?([\w.\-]+)"
+_CHARSET_HTTPEQ_RE = (
+    r"(?i)<meta\b[^>]*?http-equiv\s*=\s*[\"']content-type[\"']"
+    r"[^>]*?charset\s*=\s*[\"']?([\w.\-]+)"
+)
+
+
+def _charset_redecode(
+    bts: pd.Series, txt: pd.Series, ctype: pd.Series | None
+) -> pd.Series:
+    """Re-decode rows whose UTF-8 decode produced replacement characters
+    using a sniffed charset (spec v4; go-trafilatura sniffs charset before
+    parsing, the reference inherits that). Runs ONLY on the flagged minority
+    (tiering discipline: the UTF-8 majority pays nothing). Sniff priority
+    mirrors browsers: Content-Type header param, then <meta charset>, then
+    <meta http-equiv=content-type>; the markup region is ASCII-compatible in
+    every legacy charset this targets, so sniffing the replace-decoded text
+    is sound. A re-decode is kept only if it strictly reduces replacement
+    characters — a wrong or utf-8-aliased sniff leaves the row unchanged."""
+    cs = pd.Series([None] * len(txt), index=txt.index, dtype=object)
+    if ctype is not None:
+        cs = ctype.str.extract(_CHARSET_HDR_RE, expand=False).astype(object)
+    meta = txt.str.extract(_CHARSET_META_RE, expand=False).astype(object)
+    cs = cs.where(cs.notna(), meta).astype(object)
+    httpeq = txt.str.extract(_CHARSET_HTTPEQ_RE, expand=False).astype(object)
+    cs = cs.where(cs.notna(), httpeq).astype(object)
+    out = txt.copy()
+    for i in txt.index[cs.notna()]:
+        b = bts[i]
+        if b is None:
+            continue
+        try:
+            dec = b.decode(cs[i], errors="replace")
+        except (LookupError, TypeError, ValueError):
+            continue  # unknown/non-text codec name in the page
+        if dec.count("�") < txt[i].count("�"):
+            out[i] = dec
+    return out
+
+
 def harvest_links(h: pd.Series, base: pd.Series | None = None) -> pd.Series:
     """Spec-v4 link harvest: all <a href> values (either quote style or
     unquoted), resolved absolute against the per-row page URL."""
@@ -261,13 +302,28 @@ def harvest_links(h: pd.Series, base: pd.Series | None = None) -> pd.Series:
     return _resolve_links(found, base)
 
 
-def extract_batch(html: pd.Series, base_url: pd.Series | None = None) -> pd.DataFrame:
+def extract_batch(
+    html: pd.Series,
+    base_url: pd.Series | None = None,
+    ctype: pd.Series | None = None,
+) -> pd.DataFrame:
     """Vectorized extraction over one Arrow batch of raw page bytes.
     ``base_url`` (positionally aligned with ``html``) enables relative-link
-    resolution; without it only absolute http(s) links are harvested."""
+    resolution; without it only absolute http(s) links are harvested.
+    ``ctype`` (the Content-Type header, when the caller has it) feeds the
+    charset sniff for non-UTF-8 pages."""
     n = len(html)
     raw = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
     raw = raw.astype(object)  # object dtype: no extension-array copy of the corpus
+    # charset tier: rows whose UTF-8 decode lost bytes (latin-1/shift-jis
+    # pages — no longer rare in a Common-Crawl-style corpus) get a sniffed
+    # re-decode; everything downstream then sees correct text
+    bad = raw.str.contains("�", regex=False).eq(True)
+    if bad.any():
+        raw = raw.copy()
+        raw[bad] = _charset_redecode(
+            html[bad], raw[bad], ctype[bad] if ctype is not None else None
+        )
 
     looks_html = raw.str.match(r"\s*<").eq(True)
     err = pd.Series([None] * n, dtype=object)
@@ -416,6 +472,7 @@ def extract_pages(
             if c in df.columns and c != html_col:
                 base_col = c
                 break
+    ctype_col = next((c for c in ("__ctype", "ctype") if c in df.columns), None)
     passthrough = [f for f in df.schema.fields if f.name != html_col]
     out_schema = T.StructType(passthrough + EXTRACT_FIELDS)
     pass_names = [f.name for f in passthrough]
@@ -423,7 +480,9 @@ def extract_pages(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ext = extract_batch(
-                pdf[html_col], pdf[base_col] if base_col else None
+                pdf[html_col],
+                pdf[base_col] if base_col else None,
+                pdf[ctype_col] if ctype_col else None,
             )
             base = pdf[pass_names].reset_index(drop=True)
             yield pd.concat([base, ext], axis=1)

@@ -146,6 +146,52 @@ METADATA_PAGES: list[tuple[str, str]] = [
 ]
 
 
+# Spec v4 charset fixtures: legacy-encoded pages (latin-1, shift-jis; a
+# Common-Crawl-style corpus carries plenty) whose UTF-8 decode produces
+# replacement characters. The charset tier sniffs <meta charset> /
+# Content-Type params and re-decodes; extraction must yield the CORRECT
+# non-ASCII text, byte-identically pinned here. Stored as (url, bytes,
+# content_type_header).
+CHARSET_PAGES: list[tuple[str, bytes, str | None]] = [
+    (
+        "https://charset.test/latin1-meta",
+        (
+            '<!DOCTYPE html>\n<html lang="fr">\n<head>\n'
+            '<meta charset="iso-8859-1">\n'
+            "<title>Café Münster, déjà vu</title>\n"
+            '<meta name="description" content="Les défis à la carte">\n'
+            "</head>\n<body>\n<article>"
+            "<p>Le château est fermé; la journée s'achève déjà.</p>"
+            "</article>\n</body>\n</html>\n"
+        ).encode("latin-1"),
+        None,
+    ),
+    (
+        "https://charset.test/sjis-httpequiv",
+        (
+            '<!DOCTYPE html>\n<html lang="ja">\n<head>\n'
+            '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">\n'
+            "<title>日本語のページ</title>\n"
+            "</head>\n<body>\n<article>"
+            "<p>これは日本語のテキストです。文字化けしないこと。</p>"
+            "</article>\n</body>\n</html>\n"
+        ).encode("shift_jis"),
+        None,
+    ),
+    (
+        "https://charset.test/latin1-header-only",
+        (
+            '<!DOCTYPE html>\n<html lang="de">\n<head>\n'
+            "<title>Größenwahn</title>\n"
+            "</head>\n<body>\n<article>"
+            "<p>Über allen Gipfeln ist Ruh, schöner Text.</p>"
+            "</article>\n</body>\n</html>\n"
+        ).encode("latin-1"),
+        "text/html; charset=ISO-8859-1",  # charset ONLY in the HTTP header
+    ),
+]
+
+
 def build_golden() -> dict:
     corpus = _gen_batch(
         pd.DataFrame({"id": range(GOLDEN_HOSTS * GOLDEN_PER_HOST)}),
@@ -196,6 +242,18 @@ def build_golden() -> dict:
             "date": row.date.isoformat() if pd.notna(row.date) else None,
             "content_text": row.content_text,
         }
+    cset = {}
+    cs_html = pd.Series([b for _u, b, _c in CHARSET_PAGES])
+    cs_ctype = pd.Series([c for _u, _b, c in CHARSET_PAGES], dtype=object)
+    cs_ext = extract_batch(cs_html, None, cs_ctype)
+    for i, (url, _b, _c) in enumerate(CHARSET_PAGES):
+        row = cs_ext.iloc[i]
+        cset[url] = {
+            "title": row.title,
+            "description": row.description,
+            "content_text": row.content_text,
+            "extract_error": row.extract_error,
+        }
     return {
         "spec_version": EXTRACT_SPEC_VERSION,
         "n_hosts": GOLDEN_HOSTS,
@@ -203,6 +261,7 @@ def build_golden() -> dict:
         "pages": recs,
         "fallback_pages": fb,
         "metadata_pages": md,
+        "charset_pages": cset,
     }
 
 

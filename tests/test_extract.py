@@ -218,3 +218,45 @@ def test_link_harvest_quote_styles():
         "https://base.test/two",
         "https://base.test/dir/three.html",
     ]
+
+
+def test_charset_goldens(spark, golden):
+    """Spec v4 charset tier: latin-1 / shift-jis pages (sniffed via
+    <meta charset>, http-equiv, or the Content-Type header param) must
+    extract the CORRECT non-ASCII text — byte-identical to the committed
+    goldens through the distributed path — while pure-UTF-8 pages never pay
+    the re-decode."""
+    from tests.gen_goldens import CHARSET_PAGES
+
+    df = spark.createDataFrame(
+        [(u, b, c) for u, b, c in CHARSET_PAGES],
+        "url string, html binary, ctype string",
+    ).repartition(2)
+    rows = {r.url: r for r in extract_pages(df).collect()}
+    assert set(rows) == set(golden["charset_pages"])
+    for url, want in golden["charset_pages"].items():
+        got = rows[url]
+        for f in ("title", "content_text", "extract_error"):
+            assert getattr(got, f) == want[f], (url, f)
+    # the semantics the fixtures pin (not just golden echo): no mojibake
+    assert rows["https://charset.test/latin1-meta"].title == "Café Münster, déjà vu"
+    assert "�" not in rows["https://charset.test/sjis-httpequiv"].content_text
+    assert rows["https://charset.test/sjis-httpequiv"].title == "日本語のページ"
+    # header-only page carries no meta charset at all
+    assert rows["https://charset.test/latin1-header-only"].title == "Größenwahn"
+
+
+def test_charset_unknown_codec_is_harmless():
+    """A page naming a bogus or non-text codec keeps its replace-decoded
+    text (no crash, no error row)."""
+    import pandas as pd
+
+    from scrape_spark.operators.extract import extract_batch
+
+    html = (
+        '<html><head><meta charset="no-such-codec"><title>T\xe9</title></head>'
+        "<body><article><p>body</p></article></body></html>"
+    ).encode("latin-1")
+    out = extract_batch(pd.Series([html]))
+    assert out.iloc[0].extract_error is None
+    assert "T" in out.iloc[0].title  # é is a replacement char, rest intact
