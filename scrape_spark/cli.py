@@ -127,6 +127,11 @@ def cmd_settings(args) -> int:
 
 
 def cmd_feed(args) -> int:
+    """Parse RSS/Atom feeds → item links; with --extract, complete the
+    reference's /feed → /batch journey (api/server.go:330-333) in one
+    command: item links go through the full fetch+extract pipeline (same
+    path as `extract`), optionally memoized into --store, JSON array on
+    stdout."""
     from pyspark.sql import functions as F
 
     from scrape_spark.sources.feed import feed_to_requests, parse_feeds
@@ -140,8 +145,17 @@ def cmd_feed(args) -> int:
         "left",
     )
     links = feed_to_requests(parse_feeds(feeds_xml))
-    for r in links.collect():
-        print(r.url)
+    if not args.extract:
+        for r in links.collect():
+            print(r.url)
+        return 0
+    from scrape_spark.operators.json_sink import json_array_string
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.plans.batch_extract import batch_extract
+
+    store = UrlStore(spark, args.store) if args.store else None
+    out = batch_extract(spark, links.select("url"), pages, store=store)
+    print(json_array_string(out, drop_text=args.notext))
     return 0
 
 
@@ -259,6 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     fe = sub.add_parser("feed", help="parse RSS/Atom feeds → item links")
     fe.add_argument("--pages", required=True)
+    fe.add_argument(
+        "--extract", action="store_true",
+        help="run item links through the fetch+extract pipeline (/feed → /batch)",
+    )
+    fe.add_argument("--store", default=None, help="memoization store dir (with --extract)")
+    fe.add_argument("--notext", action="store_true", help="omit content_text (with --extract)")
     fe.add_argument("urls", nargs="+")
     fe.set_defaults(fn=cmd_feed)
 

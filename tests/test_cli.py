@@ -83,6 +83,41 @@ def test_feed_links(spark, corpus_path, capsys, tmp_path):
     assert capsys.readouterr().out.splitlines() == [page_url(0, 1), page_url(0, 2)]
 
 
+def test_feed_extract_journey(spark, corpus_path, capsys, tmp_path):
+    """`feed --extract`: the reference's /feed → /batch journey as one
+    command (api/server.go:330-333) — feed XML in the corpus → item links →
+    fetch+extract pipeline → JSON array, memoized into --store."""
+    import pandas as pd  # noqa: F401
+
+    from scrape_spark.operators.store import UrlStore
+
+    feed_url = "https://feeds.test/rss"
+    xml = (
+        "<rss><channel><title>F</title>"
+        f"<item><title>a</title><link>{page_url(0, 1)}</link></item>"
+        f"<item><title>b</title><link>{page_url(0, 2)}</link></item>"
+        "</channel></rss>"
+    )
+    corpus = spark.read.parquet(corpus_path)
+    feed_row = spark.createDataFrame(
+        [(feed_url, xml.encode())], "url string, html binary"
+    )
+    merged = str(tmp_path / "feedcorpus")
+    corpus.select("url", "html").unionByName(feed_row).write.mode(
+        "overwrite"
+    ).parquet(merged)
+
+    store = str(tmp_path / "feedstore")
+    rc = main(["feed", "--pages", merged, "--extract", "--store", store, feed_url])
+    assert rc == 0
+    rows = {r["original_url"]: r for r in json.loads(capsys.readouterr().out)}
+    assert set(rows) == {page_url(0, 1), page_url(0, 2)}
+    for r in rows.values():
+        assert r.get("error") is None and r["title"]
+    # the journey memoized the item pages into the store
+    assert UrlStore(spark, store).urls.read().count() == 2
+
+
 def test_crawl_subcommand_runs_and_resumes(spark, corpus_path, capsys, tmp_path):
     """`cli crawl`: seeds → epochs → store, JSON-lines stats on stdout;
     robots given as raw robots.txt (RFC 9309 parse path); a second
