@@ -8,17 +8,20 @@ backends:
 - ``decode_backend="header"`` (default): parse container headers only
   (PNG IHDR, BMP BITMAPINFOHEADER, PPM, RIFF/WAVE fmt, a length-prefixed
   synthetic video framing) — cheap metadata pass.
-- ``decode_backend="real"``: full pixel/sample decode, pure numpy, for the
-  UNCOMPRESSED formats — BMP 24-bpp (bottom-up rows, 4-byte padding), PPM
-  P6, WAV PCM16 (duration + RMS), and the synthetic raw-frame video.
-  Compressed codecs (PNG/JPEG/MP3/H.264) yield a ``decode_error`` row
-  ("codec not available") — this container ships no codec libraries; on a
-  real cluster that branch is PIL/soundfile/av over the same Arrow batches.
+- ``decode_backend="real"``: full pixel/sample decode, pure numpy +
+  stdlib — BMP 24-bpp (bottom-up rows, 4-byte padding), PPM P6, WAV PCM16
+  (duration + RMS), the synthetic raw-frame video, AND common-case PNG
+  (deflate IDAT via stdlib ``zlib``, row unfilter incl. Paeth; 8-bit
+  gray/RGB/RGBA, no interlace). The remaining codecs (JPEG/MP3/H.264,
+  exotic PNG variants) yield a ``decode_error`` row ("codec not
+  available") — this container ships no codec libraries; on a real
+  cluster that branch is PIL/soundfile/av over the same Arrow batches.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -57,6 +60,95 @@ FAKE_VIDEO_MAGIC = b"FVID"
 def _png(width: int, height: int, body: bytes) -> bytes:
     ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
     return PNG_SIG + ihdr + body
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized over a row."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_real(width: int, height: int, seed: int) -> bytes:
+    """VALID PNG (8-bit RGB, deflate IDAT, correct CRCs) with a different
+    row filter per scanline (0..4 cycling) so decoding exercises the whole
+    unfilter path. Deterministic pixels from the seed."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.int64).astype(np.uint8)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int16)
+    for y in range(height):
+        row = px[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            filt = row - _paeth_vec(left, prev, upleft)
+        raw.append(f)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(bytes(raw))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(arr: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters. ``arr`` is (h, 1+stride) of uint8 (leading
+    filter byte per row). None/Sub/Up rows are fully vectorized (Sub via
+    per-lane cumsum mod 256); Average/Paeth carry a sequential left-pixel
+    dependency and loop per byte — acceptable executor-side for the image
+    sizes this backend targets."""
+    h, w1 = arr.shape
+    stride = w1 - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane running sum mod 256
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad png filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
 
 
 def _wav(sample_rate: int, body: bytes) -> bytes:
@@ -113,9 +205,9 @@ def synth_media(spark: SparkSession, n: int, partitions: int | None = None) -> D
             rows = []
             for i in ids:
                 sel = i % 6
-                if sel == 0:  # compressed image (header-only decodable here)
+                if sel == 0:  # real deflate-compressed PNG — fully decodable
                     kind = "image"
-                    payload = _png(16 + (i % 64) * 4, 16 + (i % 48) * 4, bytes([i % 251]) * (64 + i % 128))
+                    payload = _png_real(8 + (i % 8) * 2, 6 + (i % 5) * 2, int(i))
                     meta = {"source": f"cam{i % 7}"}
                 elif sel in (1, 5):  # real PCM16 sine — fully decodable
                     kind = "audio"
@@ -145,11 +237,12 @@ def extract_media_features(df: DataFrame, decode_backend: str = "header") -> Dat
     input column except the payload bytes, plus FEATURE_FIELDS.
 
     decode_backend="header": parse container headers only (cheap metadata).
-    decode_backend="real": full pixel/sample decode for uncompressed
-    formats — BMP 24-bpp, PPM P6, WAV PCM16, raw-frame video — pure numpy.
-    Compressed codecs (PNG here) yield decode_error="codec not available"
-    rows; on a real cluster that branch is PIL/soundfile/av over the same
-    Arrow batches.
+    decode_backend="real": full pixel/sample decode — BMP 24-bpp, PPM P6,
+    WAV PCM16, raw-frame video, and common-case PNG (stdlib zlib inflate +
+    row unfilter) — pure numpy. Codecs beyond that (JPEG/MP3/H.264, 16-bit
+    or interlaced PNG) yield decode_error="codec not available" rows; on a
+    real cluster that branch is PIL/soundfile/av over the same Arrow
+    batches.
     """
     if decode_backend not in ("header", "real"):
         raise ValueError(f"unknown decode_backend: {decode_backend!r}")
@@ -179,11 +272,47 @@ def _decode_one(b: bytes, deep: bool) -> dict:
     (the row always flows on)."""
     try:
         if b.startswith(PNG_SIG):
-            w, h = struct.unpack(">II", b[16:24])
+            # chunk walk: IHDR + IDATs (fixed-offset IHDR read would also
+            # work for headers, but deep decode needs the real chunk layout)
+            pos, ihdr, idat = 8, None, []
+            while pos + 8 <= len(b):
+                clen = struct.unpack(">I", b[pos : pos + 4])[0]
+                ctyp = b[pos + 4 : pos + 8]
+                if ctyp == b"IHDR":
+                    ihdr = b[pos + 8 : pos + 8 + clen]
+                elif ctyp == b"IDAT":
+                    idat.append(b[pos + 8 : pos + 8 + clen])
+                elif ctyp == b"IEND":
+                    break
+                pos += 12 + clen
+            if ihdr is None or len(ihdr) < 13:
+                return {"format": "png", "decode_error": "decode error: no IHDR"}
+            w, h = struct.unpack(">II", ihdr[:8])
             out = {"format": "png", "width": int(w), "height": int(h)}
             if deep:
-                # DEFLATE-compressed IDAT: no codec libs in this container.
-                out["decode_error"] = "codec not available: png (compressed; needs PIL)"
+                # PNG is deflate — stdlib zlib covers the common case
+                # (8-bit gray/RGB/RGBA, no interlace); the rest still
+                # degrades to decode_error (16-bit, palette, Adam7).
+                depth, color, comp, filt, inter = ihdr[8:13]
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if depth != 8 or channels is None or comp != 0 or filt != 0 or inter != 0:
+                    out["decode_error"] = (
+                        f"codec not available: png depth={depth} "
+                        f"color={color} interlace={inter}"
+                    )
+                    return out
+                try:
+                    rawpx = zlib.decompress(b"".join(idat))
+                except zlib.error as ex:
+                    out["decode_error"] = f"decode error: png idat: {ex}"
+                    return out
+                stride = w * channels
+                if len(rawpx) != (stride + 1) * h:
+                    out["decode_error"] = "decode error: png size mismatch"
+                    return out
+                arr = np.frombuffer(rawpx, dtype=np.uint8).reshape(h, stride + 1)
+                recon = _png_unfilter(arr, channels)
+                out["pixel_mean"] = float(recon.astype(np.float64).mean())
             return out
         if b.startswith(b"BM"):
             data_off = struct.unpack("<I", b[10:14])[0]

@@ -165,9 +165,15 @@ def test_real_decode_uncompressed_formats(spark):
     assert abs(wav.sample_rms - 0.5 / 2**0.5) < 1e-3
     vid = rows[2]
     assert vid.format == "fvid" and vid.pixel_mean is not None
+    # PNG: REAL deflate decode via stdlib zlib + row unfilter — pixel_mean
+    # pinned against the generator's own pixel array (seed 0, mixed filters)
     png = rows[0]
-    assert png.format == "png" and png.width  # header still parsed
-    assert "codec not available" in png.decode_error
+    assert png.format == "png" and png.decode_error is None
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    want_px = rng.randint(0, 256, size=(6, 8, 3), dtype=np.int64).astype(np.uint8)
+    assert abs(png.pixel_mean - float(want_px.astype(np.float64).mean())) < 1e-12
     # header backend: same rows, no deep stats, no errors on known formats
     hdr = {
         r.media_id: r
@@ -175,6 +181,50 @@ def test_real_decode_uncompressed_formats(spark):
     }
     assert hdr[3].pixel_mean is None and hdr[1].sample_rms is None
     assert hdr[0].decode_error is None
+
+
+def test_png_decode_roundtrip_and_unsupported_variants():
+    """The zlib PNG path: (a) every row filter 0-4 reconstructs the exact
+    source pixels; (b) variants outside the common case (interlaced,
+    16-bit) degrade to 'codec not available', never exceptions; (c) a
+    corrupt IDAT is a decode-error row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from scrape_spark.operators.media import (
+        PNG_SIG,
+        _decode_one,
+        _png_real,
+    )
+
+    b = _png_real(11, 9, seed=42)  # odd sizes: exercises lane remainders
+    rng = np.random.RandomState(42)
+    want = rng.randint(0, 256, size=(9, 11, 3), dtype=np.int64).astype(np.uint8)
+    got = _decode_one(b, deep=True)
+    assert got.get("decode_error") is None
+    assert got["width"] == 11 and got["height"] == 9
+    assert got["pixel_mean"] == float(want.astype(np.float64).mean())
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # interlaced (Adam7) and 16-bit: header parses, deep decode declines
+    for depth, inter in ((8, 1), (16, 0)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, inter)
+        pb = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"xx") + chunk(b"IEND", b"")
+        r = _decode_one(pb, deep=True)
+        assert r["width"] == 4 and "codec not available" in r["decode_error"]
+        assert _decode_one(pb, deep=False).get("decode_error") is None
+    # corrupt IDAT
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    pb = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"not-deflate") + chunk(b"IEND", b"")
+    r = _decode_one(pb, deep=True)
+    assert "decode error" in r["decode_error"]
 
 
 def test_real_decode_is_deterministic(spark):
