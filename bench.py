@@ -173,10 +173,16 @@ def main() -> None:
         # at a scale where bucket counts matter — 64 buckets at 1.3M pages
         # (the sizing curve the store docstring prescribes; fresh warmed
         # store per iteration, half hits / half miss+merge)
-        lsruns = [store_round(large, 64) for _ in range(2)]
+        # >=3 iterations + a probe/merge split, like the small store level
+        # (round-4 verdict #6: 2 iterations left a 1.85x min/median spread
+        # unattributed on the flagship level)
+        lsruns = [store_round(large, 64) for _ in range(3)]
         timings["batch_pipeline_large_store"] = round(min(lsruns), 3)
         medians["batch_pipeline_large_store"] = round(_median(lsruns), 3)
         large_stats["store_throughput_pages_per_sec"] = round(n_large / min(lsruns), 1)
+        lt_probe, lt_merge = store_round(large, 64, split=True)
+        timings["batch_pipeline_large_store_probe"] = round(lt_probe, 3)
+        timings["batch_pipeline_large_store_merge"] = round(lt_merge, 3)
 
     # min + median of ITERS runs per query (JVM warm-in: measured 19s -> 6s
     # across iterations on the ssjoin; min = steady state, median = honesty)
