@@ -988,6 +988,94 @@ def batch_pipeline(spark, sf):
     )
 
 
+# -- spec v4: relative-link resolution (operators/extract._resolve_links) -------
+
+@_q(
+    "link_resolve",
+    """WITH f AS (
+         SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/a'
+             || CAST(doc_id % 7 AS VARCHAR) || '/b' || CAST(doc_id % 5 AS VARCHAR)
+             || '/page.html' AS base,
+           CASE doc_id % 8
+             WHEN 0 THEN 'https://x' || CAST(doc_id AS VARCHAR) || '.test/p'
+             WHEN 1 THEN '/r/' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'q' || CAST(doc_id AS VARCHAR) || '.html'
+             WHEN 3 THEN './s' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN '../t' || CAST(doc_id AS VARCHAR)
+             WHEN 5 THEN '//cdn' || CAST(doc_id % 9 AS VARCHAR) || '.test/u'
+             WHEN 6 THEN '?page=' || CAST(doc_id AS VARCHAR)
+             ELSE 'mailto:a@b.test'
+           END AS href
+         FROM documents
+       ), parts AS (
+         SELECT doc_id, href,
+           regexp_extract(base, '^(https?://[^/]+)', 1) AS origin,
+           regexp_replace(base, '^https?://[^/]+', '') AS path,
+           regexp_replace(
+             regexp_replace(base, '^https?://[^/]+', ''), '[^/]*$', ''
+           ) AS dir
+         FROM f
+       )
+       SELECT doc_id, href,
+         CASE doc_id % 8
+           WHEN 0 THEN href
+           WHEN 1 THEN origin || href
+           WHEN 2 THEN origin || dir || href
+           WHEN 3 THEN origin || dir || substr(href, 3)
+           WHEN 4 THEN origin || regexp_replace(dir, '[^/]+/$', '') || substr(href, 4)
+           WHEN 5 THEN 'https:' || href
+           WHEN 6 THEN origin || path || href
+         END AS resolved
+       FROM parts
+       WHERE doc_id % 8 <> 7""",
+)
+def link_resolve(spark, sf):
+    """Spec-v4 link resolution as a driver-checked operator: deterministic
+    href fixtures covering every reference form (absolute, root-relative,
+    plain, ./, ../, protocol-relative, query-only, dropped mailto:) resolved
+    by the SAME vectorized kernel the crawl's link harvest uses
+    (operators/extract._resolve_links), oracle-checked against a closed-form
+    SQL restatement of RFC 3986 resolution for these shapes."""
+    import pandas as pd
+
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".test/a"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/b"), (F.col("doc_id") % 5).cast("string"), F.lit("/page.html"),
+    )
+    sel = F.col("doc_id") % 8
+    href = (
+        F.when(sel == 0, F.concat(F.lit("https://x"), d, F.lit(".test/p")))
+        .when(sel == 1, F.concat(F.lit("/r/"), d))
+        .when(sel == 2, F.concat(F.lit("q"), d, F.lit(".html")))
+        .when(sel == 3, F.concat(F.lit("./s"), d))
+        .when(sel == 4, F.concat(F.lit("../t"), d))
+        .when(sel == 5, F.concat(F.lit("//cdn"), (F.col("doc_id") % 9).cast("string"), F.lit(".test/u")))
+        .when(sel == 6, F.concat(F.lit("?page="), d))
+        .otherwise(F.lit("mailto:a@b.test"))
+    )
+    fixtures = _t(spark, sf, "documents").select(
+        "doc_id", base.alias("base"), href.alias("href")
+    )
+
+    def run(it):
+        from scrape_spark.operators.extract import _resolve_links
+
+        for pdf in it:
+            lists = pd.Series([[h] for h in pdf["href"]], dtype=object)
+            res = _resolve_links(lists, pdf["base"])
+            out = pdf[["doc_id", "href"]].copy()
+            out["resolved"] = [x[0] if x else None for x in res]
+            yield out
+
+    return (
+        fixtures.mapInPandas(run, schema="doc_id long, href string, resolved string")
+        .filter(F.col("resolved").isNotNull())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from scrape_spark.operators.cuckoo import (
+    CUCKOO_FORMAT_VERSION,
     SLOTS_PER_BUCKET,
     _build_table,
     _delete_batch,
@@ -280,7 +281,8 @@ def test_watermark_expiry_deletes_exactly_once(spark, tmp_path_factory):
     assert occupancy(base) == 200
     # window 1 covers the even keys' expiry → exactly their 100 copies go
     after1 = crawl._load_cuckoo(
-        prev, {"seen_filter_wm": t0}, t0 + 10, fresh, att, None
+        prev, {"seen_filter_wm": t0, "seen_filter_format": CUCKOO_FORMAT_VERSION},
+        t0 + 10, fresh, att, None
     ).cache()
     assert occupancy(after1) == 100
     from scrape_spark.operators.cuckoo import probe_cuckoo
@@ -297,7 +299,8 @@ def test_watermark_expiry_deletes_exactly_once(spark, tmp_path_factory):
     after1.write.mode("overwrite").parquet(os.path.join(prev, "seenfilter.parquet"))
     # window 2 (t0+10, t0+20] contains no expiries → NOTHING is re-deleted
     after2 = crawl._load_cuckoo(
-        prev, {"seen_filter_wm": t0 + 10}, t0 + 20, fresh, att, None
+        prev, {"seen_filter_wm": t0 + 10, "seen_filter_format": CUCKOO_FORMAT_VERSION},
+        t0 + 20, fresh, att, None
     )
     assert occupancy(after2) == 100
     after1.unpersist()
