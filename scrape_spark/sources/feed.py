@@ -50,6 +50,12 @@ ITEM_SCHEMA = T.StructType(
         T.StructField("enclosure_url", T.StringType(), True),
         T.StructField("enclosure_type", T.StringType(), True),
         T.StructField("enclosure_length", T.LongType(), True),
+        # namespaced extension tags (gofeed.Item.Extensions analog —
+        # podcast/iTunes, Media RSS, DC, any ns:tag): flattened to
+        # "ns:tag" → text and "ns:tag@attr" → attribute value, first
+        # occurrence wins (gofeed keeps arrays; the flat map covers the
+        # single-valued common case and is Spark-friendly)
+        T.StructField("extensions", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -72,6 +78,8 @@ _ATTR_RE = r"""([\w:-]+)\s*=\s*["']([^"']*)["']"""
 _TITLE_RE = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
 _CDATA_RE = r"(?s)^<!\[CDATA\[(.*?)\]\]>$"
 _ROOT_TAG_RE = r"(?s)<(?:feed|rss|rdf:RDF)\b([^>]*)>"
+# namespaced extension element: <ns:tag attrs/> or <ns:tag attrs>text</ns:tag>
+_EXT_TAG_RE = r"(?s)<([A-Za-z][\w.\-]*):([A-Za-z][\w.\-]*)\b([^>]*?)(?:/>|>(.*?)</\1:\2>)"
 _XML_BASE_RE = r"""xml:base\s*=\s*["']([^"']*)["']"""
 
 # minimal XML entity set (spec-defined five + numeric forms handled below)
@@ -195,6 +203,20 @@ def _item_meta(attrs: str, chunk: str) -> dict:
                     int(d["length"]) if str(d.get("length", "")).isdigit() else None
                 )
                 break
+    # namespaced extensions (podcast/iTunes, Media RSS, DC, …): every
+    # ns:tag element, self-closing or not, flattened to "ns:tag" → text and
+    # "ns:tag@attr" → attr value; first occurrence wins
+    ext: dict[str, str] = {}
+    for ns, tag, tag_attrs, text in re.findall(_EXT_TAG_RE, chunk):
+        key = f"{ns}:{tag}"
+        if text is not None:
+            t = _clean_text(text)
+            if t and key not in ext:
+                ext[key] = t
+        for k, v in re.findall(_ATTR_RE, tag_attrs):
+            ak = f"{key}@{k.lower()}"
+            if ak not in ext:
+                ext[ak] = v
     return {
         "guid": guid,
         "published": published,
@@ -204,6 +226,7 @@ def _item_meta(attrs: str, chunk: str) -> dict:
         "enclosure_url": enc_url,
         "enclosure_type": enc_type,
         "enclosure_length": enc_len,
+        "extensions": ext or None,
     }
 
 

@@ -463,3 +463,45 @@ def test_feed_item_metadata_tail(spark):
     assert (at.enclosure_url, at.enclosure_type, at.enclosure_length) == (
         "https://pod.test/e2.ogg", "audio/ogg", 999,
     )
+
+
+PODCAST_RSS = """<?xml version="1.0"?><rss
+ xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd"
+ xmlns:media="http://search.yahoo.com/mrss/"
+ xmlns:podcast="https://podcastindex.org/namespace/1.0"><channel>
+<title>Ext Pod</title>
+<item>
+ <title>X1</title><link>https://pod.test/x1</link>
+ <itunes:duration>30:00</itunes:duration>
+ <itunes:author>Ivy Tunes</itunes:author>
+ <itunes:episode>7</itunes:episode>
+ <itunes:image href="https://pod.test/x1.jpg"/>
+ <media:content url="https://pod.test/x1.mp4" type="video/mp4" duration="1800"/>
+ <media:content url="https://pod.test/x1-alt.mp4"/>
+ <media:thumbnail url="https://pod.test/x1-thumb.jpg"/>
+ <podcast:transcript url="https://pod.test/x1.srt" type="application/srt"/>
+ <media:title>Media &amp; Title</media:title>
+</item>
+</channel></rss>"""
+
+
+def test_feed_namespaced_extensions(spark):
+    """gofeed.Item.Extensions analog: iTunes / Media RSS / podcast-index
+    namespaced tags are captured generically as a flat "ns:tag"[@attr] map
+    (first occurrence wins), alongside the translated core fields."""
+    df = spark.createDataFrame([("u", PODCAST_RSS)], ["feed_url", "xml"])
+    it = parse_feeds(df).collect()[0].items[0]
+    ext = it.extensions
+    assert ext["itunes:duration"] == "30:00"
+    assert ext["itunes:author"] == "Ivy Tunes"
+    assert ext["itunes:episode"] == "7"
+    assert ext["itunes:image@href"] == "https://pod.test/x1.jpg"
+    assert ext["media:content@url"] == "https://pod.test/x1.mp4"  # first wins
+    assert ext["media:content@type"] == "video/mp4"
+    assert ext["media:content@duration"] == "1800"
+    assert ext["media:thumbnail@url"] == "https://pod.test/x1-thumb.jpg"
+    assert ext["podcast:transcript@url"] == "https://pod.test/x1.srt"
+    assert ext["media:title"] == "Media & Title"  # entity-unescaped text
+    # extension-free feeds keep a null map, and dc: folds stay translated
+    df2 = spark.createDataFrame([("u", CDATA_RSS)], ["feed_url", "xml"])
+    assert parse_feeds(df2).collect()[0].items[0].extensions is None
