@@ -167,13 +167,21 @@ def _resolve_links(lists: pd.Series, base: pd.Series | None) -> pd.Series:
     (normalized RFC 3986-style). Dropped: other schemes (mailto:,
     javascript:), bare fragments (self-references), empty hrefs, and
     relative forms when no base URL is available."""
-    n = len(lists)
-    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
-    total = int(lens.sum())
-    if total == 0:
-        return pd.Series([[] for _ in range(n)], index=lists.index, dtype=object)
-    rowid = np.repeat(np.arange(n), lens)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
     flat_np = np.array([v for x in lists for v in x], dtype=object)
+    return _resolve_flat(flat_np, lens, base, lists.index)
+
+
+def _resolve_flat(
+    flat_np: np.ndarray, lens: np.ndarray, base: pd.Series | None, index
+) -> pd.Series:
+    """Core of _resolve_links over the pre-flattened href array (``lens``
+    gives each row's link count; ``index`` is the output row index)."""
+    n = len(lens)
+    total = len(flat_np)
+    if total == 0:
+        return pd.Series([[] for _ in range(n)], index=index, dtype=object)
+    rowid = np.repeat(np.arange(n), lens)
     flat = pd.Series(flat_np)  # RangeIndex — unique, positional
     keep = np.full(total, None, dtype=object)
     is_abs = flat.str.match(_ABS_RE).to_numpy(dtype=bool)
@@ -246,7 +254,7 @@ def _resolve_links(lists: pd.Series, base: pd.Series | None) -> pd.Series:
     cuts = np.searchsorted(kept_rows, np.arange(n + 1))
     return pd.Series(
         [kept_vals[cuts[i]:cuts[i + 1]].tolist() for i in range(n)],
-        index=lists.index,
+        index=index,
         dtype=object,
     )
 
@@ -294,12 +302,20 @@ def _charset_redecode(
 
 def harvest_links(h: pd.Series, base: pd.Series | None = None) -> pd.Series:
     """Spec-v4 link harvest: all <a href> values (either quote style or
-    unquoted), resolved absolute against the per-row page URL."""
+    unquoted), resolved absolute against the per-row page URL. The three
+    quote-style capture groups are coalesced in the SAME pass that flattens
+    rows to the positional link array (one Python sweep, not two)."""
     found = h.str.findall(_HREF_RE)
-    found = found.map(
-        lambda xs: [a or b or c for (a, b, c) in xs] if isinstance(xs, list) else []
+    lens = np.fromiter(
+        (len(x) if isinstance(x, list) else 0 for x in found),
+        dtype=np.int64,
+        count=len(found),
     )
-    return _resolve_links(found, base)
+    flat_np = np.array(
+        [a or b or c for x in found if isinstance(x, list) for (a, b, c) in x],
+        dtype=object,
+    )
+    return _resolve_flat(flat_np, lens, base, h.index)
 
 
 def extract_batch(
