@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
 (names match the driver-test keys in the §2 tables), DuckDB-checked at
 sf0.01. Keys without an oracle entry are genuinely non-SQL-expressible
-(FNV-1a keying parity, the full extraction pipeline) and get rows-only checks.
+(xxhash64-based sketches, the iterative crawl loop) and get rows-only checks.
 
 Column-name discipline: every computed column is aliased identically in the
 Spark plan and the oracle SQL (the driver sorts columns by name and hashes
@@ -117,7 +117,38 @@ def clean_url_project(spark, sf):
     )
 
 
-@_q("key_hash")  # rows-only: FNV-1a-63 has no DuckDB analog (parity-pinned in pytest)
+@_q(
+    "key_hash",
+    # FNV-1a-64 is a per-byte fold — expressible in DuckDB as a list_reduce
+    # over char codes (ASCII urls ⇒ chars == bytes) in HUGEINT arithmetic
+    # mod 2^64, then the reference's 56-bit fold + 7-bit host checksum
+    # (internal/storage/key.go:44-57). Bit-identical to url_key_py.
+    """WITH u AS (
+         SELECT p_partkey, 'https://parts.test/p/' || p_partkey AS cleaned
+         FROM part
+       ), h AS (
+         SELECT p_partkey, cleaned,
+           list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(cleaned) + 1),
+                 i -> ord(substr(cleaned, CAST(i AS INT), 1))::HUGEINT)),
+             (acc, ch) -> (xor(CAST(acc AS UBIGINT), CAST(ch AS UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT
+           ) AS fnv,
+           list_sum(list_transform(
+             range(1, length(regexp_extract(cleaned, '^https?://([^/]+)', 1)) + 1),
+             i -> ord(substr(regexp_extract(cleaned, '^https?://([^/]+)', 1),
+                             CAST(i AS INT), 1)))) AS hsum
+         FROM u
+       )
+       SELECT p_partkey, cleaned,
+         CAST(((hsum % 128)::UBIGINT << 56)
+              | xor(CAST(fnv AS UBIGINT) >> 56,
+                    CAST(fnv AS UBIGINT) & 72057594037927935::UBIGINT)
+              AS BIGINT) AS key
+       FROM h ORDER BY p_partkey""",
+)
 def key_hash(spark, sf):
     from scrape_spark.functions.urlkeys import clean_url, url_key
 
@@ -888,7 +919,18 @@ def wildcard_like(spark, sf):
     )
 
 
-@_q("metadata_json")  # rows-only: JSON field-order/format is engine-specific
+@_q(
+    "metadata_json",
+    # The metadata blob keeps only non-skip-list fields (lang, source here —
+    # url/content_text are SKIP_IN_METADATA, resource/web_page.go:13-20).
+    # Both engines emit compact {"k":"v"} JSON for flat string structs, so
+    # the blob is hash-comparable; json_merge_patch drops any null fields to
+    # mirror Spark's ignoreNullFields.
+    """SELECT doc_id AS key,
+              json_merge_patch('{}', to_json(struct_pack(
+                lang := lang, source := source)))::VARCHAR AS metadata
+       FROM documents""",
+)
 def metadata_json_q(spark, sf):
     from scrape_spark.operators.json_sink import metadata_json_col
 
