@@ -55,7 +55,7 @@ from pyspark.sql import Window as W
 from scrape_spark.functions.urlkeys import (
     clean_url,
     hostname_col,
-    salted_host_bucket,
+    salted_host_hash,
     url_key,
 )
 from scrape_spark.operators.bloom import build_bloom, probe_bloom
@@ -612,7 +612,7 @@ class Crawl:
             selected.withColumn("request_error", F.lit(None).cast("string"))
             .withColumn("original_url", F.col("url"))
             .withColumn("parsed_url", F.col("url"))
-            .repartition(n_part, salted_host_bucket("host", n_part, cfg.salt))
+            .repartition(n_part, salted_host_hash("host", cfg.salt))
         )
         extracted = fetch_join(
             to_fetch.select(

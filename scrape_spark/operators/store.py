@@ -334,6 +334,11 @@ class ManifestTable:
         recorded NOW (commit-time is the only moment the table layer ever
         stats a data file or opens a footer)."""
         out_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        # hash-partitioning n_buckets distinct ids collides some buckets into
+        # one write task (balls-in-bins, ~2x straggler at 64 buckets/32
+        # cores) — accepted: co-locating each bucket in ONE task is what
+        # keeps the one-file-per-bucket commit layout, and the write stage
+        # is delta-sized, not table-sized
         df = df.repartition(BUCKET_COL)
         if self.stats_cols:
             # order rows within each file by the stats columns (reference

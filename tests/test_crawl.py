@@ -666,3 +666,61 @@ def test_crawl_discovers_relative_links(spark, tmp_path_factory):
     all_urls = {t[1] for ep in sel_abs for t in ep}
     assert "https://rel0.test/missing" in all_urls
     assert "https://rel1.test/a/p1.html" in all_urls  # depth-2 cross-host
+
+
+def test_hot_host_fetch_stage_is_budget_bounded_and_balanced(spark):
+    """North-star skew defense (SURVEY §4 O2): a hot domain cannot swamp a
+    fetch partition. Two mechanisms compose: the per-host politeness budget
+    (W3, frontier.py run_epoch stage 3) caps every host's per-epoch selected
+    rows at floor(epoch_seconds/delay), and the salted-host repartition
+    (run_epoch stage 4) spreads hosts uniformly over the fetch partitions —
+    so the fetch stage's max partition load is bounded by budget × hosts-per
+    -bucket regardless of how skewed the RAW frontier is. This pins the
+    mechanism on a heavily-skewed frontier with deterministic numbers (the
+    salt and xxhash64 are fixed). Hosts-per-bucket concentration is a
+    balls-in-bins max — it tightens toward 1 as hosts/bucket grows, so the
+    test uses a cluster-realistic ~125 hosts/bucket (at 10^7-10^8 frontier
+    hosts over 10^4 partitions the ratio is even higher)."""
+    from pyspark.sql import Window as W
+
+    from scrape_spark.functions.urlkeys import salted_host_hash
+
+    hot = [("hot.test", f"https://hot.test/p{i}", 1.0) for i in range(5000)]
+    cold = [
+        (f"c{h:04d}.test", f"https://c{h:04d}.test/p{i}", 1.0)
+        for h in range(1999)
+        for i in range(4)
+    ]
+    frontier = spark.createDataFrame(
+        hot + cold, "host string, url string, crawl_delay double"
+    ).withColumn("priority", F.lit(0)).withColumn("depth", F.lit(0))
+
+    # raw skew: the hot host alone is >38% of the frontier, 1250x any other
+    assert 5000 / (5000 + 4 * 1999) > 0.38
+
+    cfg = CrawlConfig(epoch_seconds=8.0, shuffle_partitions=16)
+    w = W.partitionBy("host").orderBy("priority", "depth", "url")
+    selected = (
+        frontier.withColumn("rank", F.row_number().over(w))
+        .withColumn("budget", cfg.budget_expr())
+        .filter(F.col("rank") <= F.col("budget"))
+    )
+    per_host = {r.host: r.n for r in selected.groupBy("host").count()
+                .withColumnRenamed("count", "n").collect()}
+    budget = 8  # floor(8.0 / 1.0)
+    assert per_host["hot.test"] == budget  # 5000 raw rows -> 8 selected
+    assert all(n <= budget for n in per_host.values())
+
+    n_part = 16
+    sizes = (
+        selected.repartition(n_part, salted_host_hash("host", cfg.salt))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    ideal = sum(counts) / n_part
+    # every partition within 1.25x of ideal: the hot host's 8 budgeted rows
+    # are one host among ~125 per bucket — invisible in the load profile
+    assert max(counts) <= 1.25 * ideal, counts
+    assert len(counts) == n_part  # no empty fetch partitions at 2000 hosts
