@@ -190,22 +190,17 @@ def hostname_col(url_col: str | Column) -> Column:
     return F.regexp_extract(c, r"^https?://([^/]+)", 1)
 
 
-def salted_host_bucket(host_col: str | Column, n_buckets: int, salt: int = 0x5CA1E) -> Column:
-    """Explicit bucket id in [0, n_buckets): salted hash of host, so hot
-    domains land deterministically but adversarial/hot hostnames can be
-    re-salted without touching logical keys (SURVEY.md §4 O2). Use this when
-    the bucket id itself is stored/joined on. Do NOT feed it to
-    ``repartition(n, ...)`` — see ``salted_host_hash``."""
-    c = F.col(host_col) if isinstance(host_col, str) else host_col
-    return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(n_buckets)).cast("int")
-
-
 def salted_host_hash(host_col: str | Column, salt: int = 0x5CA1E) -> Column:
-    """Full-width salted host hash for ``repartition(n, ...)``. Spark's
-    HashPartitioning re-hashes the expression value mod n — handing it a
-    pre-reduced bucket id in [0, n) double-hashes n distinct values into n
-    partitions, a balls-in-bins collision that leaves ~1/e of the partitions
-    empty and others carrying 2-3 buckets (measured 2.2x max/mean load).
-    A 64-bit hash value keeps the partitioner's modulo the only reduction."""
+    """Full-width salted host hash — the fetch-stage partitioning column
+    (SURVEY.md §4 O2): hot domains land deterministically, and adversarial
+    or hot hostnames can be re-salted without touching logical keys.
+
+    Deliberately NOT pre-reduced to a bucket id: Spark's HashPartitioning
+    re-hashes the expression value mod n, so handing ``repartition(n, ...)``
+    a value already in [0, n) double-hashes n distinct values into n
+    partitions — a balls-in-bins collision that leaves ~1/e of the
+    partitions empty and others carrying 2-3 buckets (measured 2.2x
+    max/mean load). A 64-bit hash keeps the partitioner's modulo the only
+    reduction."""
     c = F.col(host_col) if isinstance(host_col, str) else host_col
     return F.xxhash64(c, F.lit(salt))

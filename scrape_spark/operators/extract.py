@@ -150,8 +150,11 @@ def _meta(h: pd.Series, attr: str, key: str) -> pd.Series:
 # rigid double-quote pattern on the synthetic corpus (~0.07 s / 20k pages).
 _HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^"'\s>][^\s>]*))"""
 
-# link classification (subset of RFC 3986 reference forms)
-_ABS_RE = r"(?i)https?://"
+# link classification (subset of RFC 3986 reference forms). Absolute needs
+# at least one authority char: a bare "https://" href is link noise, not a
+# fetchable URL (the pre-v4 pattern rejected it too; without the guard it
+# would flow through clean_url/url_key as an empty-host frontier row)
+_ABS_RE = r"(?i)https?://."
 _SCHEME_RE = r"(?i)[a-z][a-z0-9+.\-]*:"
 
 
@@ -281,6 +284,10 @@ def _charset_redecode(
     characters — a wrong or utf-8-aliased sniff leaves the row unchanged."""
     cs = pd.Series([None] * len(txt), index=txt.index, dtype=object)
     if ctype is not None:
+        # an all-null header column arrives float64 from pandas inference;
+        # the .str accessor raises on non-object dtypes — coerce first
+        if ctype.dtype != object:
+            ctype = ctype.astype(object).where(ctype.notna(), None)
         cs = ctype.str.extract(_CHARSET_HDR_RE, expand=False).astype(object)
     meta = txt.str.extract(_CHARSET_META_RE, expand=False).astype(object)
     cs = cs.where(cs.notna(), meta).astype(object)

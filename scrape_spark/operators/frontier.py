@@ -87,6 +87,14 @@ ATTEMPTED_SCHEMA = T.StructType(
 
 DEFAULT_CRAWL_DELAY = 1.0
 
+# conservative per-row byte estimates for the robots-discovery broadcast
+# gates: a probe row is (host, __rurl) strings; a parsed rules row is host +
+# allow/disallow struct arrays (robots.txt bodies run to hundreds of rules).
+# Both deliberately overestimate — the failure mode of a low estimate is a
+# driver/executor OOM, of a high one a plain AQE equi-join.
+ROBOTS_PROBE_ROW_BYTES = 128
+ROBOTS_HOST_RULES_BYTES = 2048
+
 # store-commit ops this crawl itself authors; anything else in the manifest
 # parent chain between two epoch pins means a foreign writer touched the
 # store and the persistent seen-filter can no longer be advanced
@@ -146,6 +154,7 @@ class Crawl:
         self.robots = robots.cache() if robots is not None else None
         self.cfg = config or CrawlConfig()
         self._epoch_caches: list[DataFrame] = []
+        self._robots_delta_hosts = 0  # set per-epoch by _robots_for_epoch
         os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
 
     # ---- checkpoint bookkeeping -------------------------------------------
@@ -373,10 +382,17 @@ class Crawl:
         cfg.user_agent group selection), and accumulate one rules row per
         host in the epoch checkpoint. Per-epoch cost ∝ NEW hosts: the
         accumulated state is a host-dimension table; the fetch streams the
-        corpus against a broadcast of the missing-host probe (the same
-        zero-corpus-shuffle decomposition the fetch join uses — the probe is
-        host-count-bounded by construction). A host with no robots.txt page
-        gets an allow-all row once and is never refetched."""
+        corpus against the missing-host probe (the same zero-corpus-shuffle
+        decomposition the fetch join uses). The probe is counted (one
+        host-dimension aggregate) and that count does double duty: it gates
+        the probe's own broadcast (a frontier explosion can add millions of
+        new hosts in one epoch — then the probe side must not broadcast
+        either; AQE picks the strategy), and it bounds THIS epoch's rules
+        delta for run_epoch's robots broadcast gate (the on-disk state bytes
+        alone are stale by exactly one epoch's delta — epoch 0 has no state
+        file at all, which used to read as 0 bytes ⇒ broadcast
+        unconditionally on the largest discovery epoch). A host with no
+        robots.txt page gets an allow-all row once and is never refetched."""
         from scrape_spark.sources.robots import ROBOTS_RULES_SCHEMA, parse_robots
 
         path = os.path.join(self._edir(epoch), "robots_state.parquet")
@@ -392,7 +408,12 @@ class Crawl:
                 "__rurl",
                 F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt")),
             )
+            .cache()
         )
+        self._epoch_caches.append(missing)
+        self._robots_delta_hosts = missing.count()
+        probe_cap = max(1, self.store.broadcast_threshold_bytes // ROBOTS_PROBE_ROW_BYTES)
+        probe = F.broadcast(missing) if self._robots_delta_hosts <= probe_cap else missing
         html_t = {f.name: f.dataType for f in self.pages.schema.fields}["html"]
         body = (
             F.decode(F.col("html"), "UTF-8")
@@ -400,13 +421,13 @@ class Crawl:
             else F.col("html").cast("string")
         )
         corpus = self.pages.select(F.col("url").alias("__rurl"), body.alias("robots_txt"))
-        # hosts WITH a robots.txt page: inner broadcast-probe join — the
-        # corpus streams in place, zero corpus shuffle. Cached because both
-        # union arms below reference it (the absent-host derivation must not
-        # trigger a second corpus scan); host-dimension rows, bounded by the
-        # probe.
+        # hosts WITH a robots.txt page: inner probe join — broadcast when the
+        # probe count allows, so the corpus streams in place with zero corpus
+        # shuffle. Cached because both union arms below reference it (the
+        # absent-host derivation must not trigger a second corpus scan);
+        # host-dimension rows, bounded by the probe.
         found = (
-            corpus.join(F.broadcast(missing), "__rurl", "inner")
+            corpus.join(probe, "__rurl", "inner")
             .select("host", "robots_txt")
             .cache()
         )
@@ -533,10 +554,15 @@ class Crawl:
         if self.robots is None:
             robots_df = self._robots_for_epoch(epoch, frontier).cache()
             self._epoch_caches.append(robots_df)
-            # the growing part of the discovered table is the accumulated
-            # on-disk state; this epoch's delta is bounded by the new-host
-            # probe (already broadcast inside the discovery join)
-            robots_bytes = self._robots_state_bytes(epoch)
+            # the discovered table is last epoch's on-disk state PLUS this
+            # epoch's delta. The state bytes alone are stale by one epoch
+            # (and 0 on epoch 0, when the delta — every seed host — is the
+            # whole table), so add a conservative per-host bound on the
+            # delta, counted inside _robots_for_epoch.
+            robots_bytes = (
+                self._robots_state_bytes(epoch)
+                + self._robots_delta_hosts * ROBOTS_HOST_RULES_BYTES
+            )
         else:
             robots_df = self.robots
             robots_bytes = _plan_size_bytes(robots_df)

@@ -57,11 +57,6 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 FAKE_VIDEO_MAGIC = b"FVID"
 
 
-def _png(width: int, height: int, body: bytes) -> bytes:
-    ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
-    return PNG_SIG + ihdr + body
-
-
 def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Paeth predictor (RFC 2083 §6.6), vectorized over a row."""
     p = a + b - c

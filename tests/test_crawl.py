@@ -724,3 +724,38 @@ def test_hot_host_fetch_stage_is_budget_bounded_and_balanced(spark):
     # are one host among ~125 per bucket — invisible in the load profile
     assert max(counts) <= 1.25 * ideal, counts
     assert len(counts) == n_part  # no empty fetch partitions at 2000 hosts
+
+
+def test_robots_discovery_gate_counts_epoch0_delta(spark, tmp_path_factory, pages, model):
+    """The discovery-mode broadcast gate must account for THIS epoch's
+    rules delta, not just last epoch's on-disk state: epoch 0 has no state
+    file (0 bytes), yet its delta — every seed host's rules — is the whole
+    table. With a threshold below the per-host delta bound, epoch 0 must
+    NOT broadcast the robots-shaped frame, and the crawl still matches the
+    model (plain equi-join + AQE)."""
+    import scrape_spark.operators.frontier as fr_mod
+
+    tmpdir = str(tmp_path_factory.mktemp("robots_gate_e0"))
+    crawl = _mk_crawl(spark, tmpdir, pages)
+    robots_cols = set(crawl.robots.columns)
+    crawl.robots = None  # discovery mode
+    # below one host's conservative rules bound: any nonzero delta shuts the
+    # gate even though _robots_state_bytes(0) == 0
+    crawl.store.broadcast_threshold_bytes = fr_mod.ROBOTS_HOST_RULES_BYTES - 1
+    calls: list = []
+    orig = fr_mod.F.broadcast
+
+    def recording(df):
+        calls.append(set(df.columns))
+        return orig(df)
+
+    fr_mod.F.broadcast = recording
+    try:
+        crawl.seed(seed_urls(N_HOSTS))
+        crawl.run_epoch(0)
+    finally:
+        fr_mod.F.broadcast = orig
+    assert not any(robots_cols <= c for c in calls), calls
+    sel = _selected_tuples(spark, crawl, 0)
+    assert sel == [tuple(t) for t in model.selected_per_epoch[0]]
+    shutil.rmtree(tmpdir, ignore_errors=True)
