@@ -56,7 +56,29 @@ def cmd_extract(args) -> int:
     from scrape_spark.schemas import FETCH_METHOD_DIRECT, FETCH_METHOD_HEADLESS
 
     spark = _spark(args.cores)
-    pages = spark.read.parquet(args.pages)
+    live = None
+    if args.live:
+        # Real-network fetch (the reference's default mode; the parquet
+        # corpus is this engine's test/bench stand-in for the web). The
+        # headless flag / settings routing then drive a CDP browser at
+        # --headless-endpoint instead of the corpus join.
+        from scrape_spark.sources.live import DEFAULT_UA, LiveFetchConfig
+
+        if args.headless and not args.headless_endpoint:
+            print("--headless with --live needs --headless-endpoint", file=sys.stderr)
+            return 2
+        live = LiveFetchConfig(
+            user_agent=args.user_agent or DEFAULT_UA,
+            timeout=args.timeout,
+            max_concurrent=args.max_concurrent,
+            headless_endpoint=args.headless_endpoint,
+        )
+        pages = None
+    else:
+        if not args.pages:
+            print("extract needs --pages (corpus) or --live", file=sys.stderr)
+            return 2
+        pages = spark.read.parquet(args.pages)
     store = UrlStore(spark, args.store) if args.store else None
     settings = (
         DomainSettingsStore(spark, args.settings) if getattr(args, "settings", None) else None
@@ -68,6 +90,7 @@ def cmd_extract(args) -> int:
         store=store,
         settings=settings,
         fetch_method=FETCH_METHOD_HEADLESS if args.headless else FETCH_METHOD_DIRECT,
+        live=live,
     )
     print(json_array_string(out, drop_text=args.notext))
     return 0
@@ -249,10 +272,20 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     ex = sub.add_parser("extract", help="batch fetch+extract → JSON array")
-    ex.add_argument("--pages", required=True, help="pages corpus parquet")
+    ex.add_argument("--pages", default=None, help="pages corpus parquet")
     ex.add_argument("--store", default=None, help="memoization store dir")
     ex.add_argument("--notext", action="store_true", help="omit content_text")
     ex.add_argument("--headless", action="store_true", help="headless client")
+    ex.add_argument("--live", action="store_true",
+                    help="fetch over the real network instead of --pages")
+    ex.add_argument("--headless-endpoint", default=None, dest="headless_endpoint",
+                    help="CDP browser http endpoint (e.g. http://127.0.0.1:9222)")
+    ex.add_argument("--user-agent", default=None, dest="user_agent",
+                    help="live-fetch User-Agent")
+    ex.add_argument("--timeout", type=float, default=30.0,
+                    help="live-fetch per-request timeout seconds")
+    ex.add_argument("--max-concurrent", type=int, default=6, dest="max_concurrent",
+                    help="live connections per task (MaxTabs parity)")
     ex.add_argument("--csv", default=None, help="CSV file of URLs")
     ex.add_argument("--csv-column", type=int, default=1, help="1-based URL column")
     ex.add_argument("--settings", default=None, help="domain-settings store dir (per-host routing)")

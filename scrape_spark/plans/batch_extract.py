@@ -396,14 +396,40 @@ def fetch_and_extract(
     )
 
 
+def _live_pages(misses: DataFrame, live) -> DataFrame:
+    """Materialize the fetch stage from the real network (S1/S3 live path):
+    only MISS rows are fetched, each routed per-row to the direct or
+    headless client with its settings-resolved UA/headers riding along
+    (settings/domain.go:43-49). Cached — the network is not idempotent, so
+    recomputes must not refetch."""
+    from scrape_spark.sources.live import fetch_pages
+
+    routed = misses.filter(F.col("parsed_url").isNotNull()).select(
+        F.col("parsed_url").alias("url"),
+        F.when(
+            F.col("__fetch_method") == FETCH_METHOD_HEADLESS,
+            F.lit("chromium-headless"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("client"),
+        F.col("__user_agent").alias("ua"),
+        F.col("__headers").alias("hdrs"),
+    )
+    return fetch_pages(
+        routed, live, url_col="url", client_col="client",
+        ua_col="ua", headers_col="hdrs",
+    ).cache()
+
+
 def batch_extract(
     spark: SparkSession,
     requests: DataFrame,
-    pages: DataFrame,
+    pages: DataFrame | None = None,
     store: UrlStore | None = None,
     save: bool = True,
     settings=None,
     fetch_method: int = FETCH_METHOD_DIRECT,
+    live=None,
 ) -> DataFrame:
     """Full batch pipeline. With a store: memoized (hits skip the fetch stage
     and keep their stored fetch_time — parity with internal/scrape_test.go's
@@ -418,7 +444,13 @@ def batch_extract(
     settings/domain.go:43-49). In this engine both clients resolve to the
     same corpus equi-join (there is no browser in the sandbox) — the routing
     decision, the broadcast settings join, and the fetch_method provenance
-    on every result row are the real, tested surface."""
+    on every result row are the real, tested surface. With ``live`` (a
+    :class:`scrape_spark.sources.live.LiveFetchConfig`) the corpus join is
+    replaced by REAL network fetches of the miss rows — direct urllib or a
+    headless-Chrome CDP endpoint per the same routing — and ``pages`` may
+    be None."""
+    if pages is None and live is None:
+        raise ValueError("batch_extract needs a pages corpus or live=LiveFetchConfig")
     req = prepare_requests(requests)
     req = req.withColumn("__fetch_method", F.lit(fetch_method))
     if settings is not None:
@@ -454,6 +486,8 @@ def batch_extract(
     ).dropDuplicates(["__dedupe_key"]).drop("__dedupe_key")
 
     if store is None:
+        if pages is None:
+            pages = _live_pages(req, live)
         results = fetch_and_extract(req, pages, ttl_seconds=30 * 24 * 3600)
         return results
 
@@ -507,6 +541,10 @@ def batch_extract(
         "original_url", "parsed_url", "key", "request_error",
         "__fetch_method", "__user_agent", "__headers",
     )
+    own_pages = None
+    if pages is None:
+        # live path: fetch ONLY the misses
+        own_pages = pages = _live_pages(misses, live)
     fetched = fetch_and_extract(misses, pages, store.ttl_seconds)
 
     results = hit_results.unionByName(fetched)
@@ -518,6 +556,8 @@ def batch_extract(
         # sessions / crawl loops)
         req.unpersist()
         joined.unpersist()
+        if own_pages is not None:
+            own_pages.unpersist()
     return results
 
 
