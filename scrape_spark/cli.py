@@ -194,7 +194,21 @@ def cmd_crawl(args) -> int:
     from scrape_spark.schemas import ROBOTS_SCHEMA
 
     spark = _spark(args.cores)
-    pages = spark.read.parquet(args.pages)
+    live = None
+    if args.live:
+        from scrape_spark.sources.live import LiveFetchConfig
+
+        live = LiveFetchConfig(
+            user_agent=args.user_agent,
+            timeout=args.timeout,
+            max_concurrent=args.max_concurrent,
+        )
+        pages = None
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        print("crawl needs --pages (corpus) or --live", file=sys.stderr)
+        return 2
     if args.robots_txt:
         from scrape_spark.sources.robots import parse_robots
 
@@ -221,6 +235,7 @@ def cmd_crawl(args) -> int:
             seen_filter=args.seen_filter,
             user_agent=args.user_agent,
         ),
+        live=live,
     )
     seeds = list(args.seeds) or None
     for stats in crawl.run(args.epochs, seeds=seeds):
@@ -329,7 +344,13 @@ def build_parser() -> argparse.ArgumentParser:
     pi.set_defaults(fn=cmd_ping)
 
     cr = sub.add_parser("crawl", help="BFS crawl epochs → store (resumable)")
-    cr.add_argument("--pages", required=True, help="pages corpus parquet")
+    cr.add_argument("--pages", default=None, help="pages corpus parquet")
+    cr.add_argument("--live", action="store_true",
+                    help="fetch over the real network instead of --pages")
+    cr.add_argument("--timeout", type=float, default=30.0,
+                    help="live-fetch per-request timeout seconds")
+    cr.add_argument("--max-concurrent", type=int, default=6, dest="max_concurrent",
+                    help="live connections per task")
     cr.add_argument("--state", required=True, help="crawl state/checkpoint dir")
     cr.add_argument("--store", required=True, help="url store dir")
     cr.add_argument("--robots", default=None, help="rules parquet (host, disallow, crawl_delay)")

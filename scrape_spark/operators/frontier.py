@@ -130,27 +130,42 @@ class CrawlConfig:
 
 class Crawl:
     """Epoch-synchronous crawl over a pages corpus (the network-free fetch
-    join at every test/bench scale)."""
+    join at every test/bench scale) or, with ``live=``, over the real
+    network (executor-side HTTP fetch, checkpointed per epoch)."""
 
     def __init__(
         self,
         spark: SparkSession,
         state_dir: str,
         store: UrlStore,
-        pages: DataFrame,
+        pages: DataFrame | None,
         robots: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        live=None,
     ):
         """``robots`` may be a pre-supplied rules table (parsed RFC 9309
         rules or legacy disallow-prefix arrays), or None — then the crawl
         DISCOVERS robots.txt from the corpus itself: each epoch it fetches
         ``https://<host>/robots.txt`` for hosts newly seen in the frontier
         (through the same corpus equi-join every fetch uses), parses them
-        (RFC 9309), and accumulates the rules in the epoch checkpoint."""
+        (RFC 9309), and accumulates the rules in the epoch checkpoint.
+
+        ``live`` (a :class:`scrape_spark.sources.live.LiveFetchConfig`)
+        replaces the pages corpus with the real network: each epoch's
+        politeness-selected URLs are fetched by the executors
+        (sources/live.py) and written to the epoch checkpoint as
+        ``fetched_pages.parquet`` — the fetch join, extraction, outlink
+        discovery, robots discovery, and resume semantics are otherwise
+        IDENTICAL to corpus mode (the epoch re-reads its own fetched
+        parquet, so recomputes and resumed runs never refetch). ``pages``
+        may then be None."""
+        if pages is None and live is None:
+            raise ValueError("Crawl needs a pages corpus or live=LiveFetchConfig")
         self.spark = spark
         self.state_dir = state_dir
         self.store = store
         self.pages = pages
+        self.live = live
         self.robots = robots.cache() if robots is not None else None
         self.cfg = config or CrawlConfig()
         self._epoch_caches: list[DataFrame] = []
@@ -400,20 +415,57 @@ class Crawl:
             state = self.spark.read.schema(ROBOTS_RULES_SCHEMA).parquet(path)
         else:
             state = self.spark.createDataFrame([], ROBOTS_RULES_SCHEMA)
+        # robots.txt lives at the scheme+authority the site is actually
+        # crawled under (RFC 9309 §2.3) — derive the scheme from the
+        # frontier's own URLs per host (deterministic min: "http" < "https",
+        # so a mixed-scheme host probes its http robots; the synthetic
+        # corpora are https-only and unchanged). Same shuffle shape as the
+        # old select-distinct.
         missing = (
-            frontier.select("host")
-            .distinct()
+            frontier.groupBy("host")
+            .agg(
+                F.min(F.regexp_extract("url", r"^(https?)://", 1)).alias("__scheme")
+            )
             .join(state.select("host"), "host", "left_anti")
             .withColumn(
                 "__rurl",
-                F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt")),
+                F.concat(
+                    F.col("__scheme"), F.lit("://"), F.col("host"),
+                    F.lit("/robots.txt"),
+                ),
             )
+            .drop("__scheme")
             .cache()
         )
         self._epoch_caches.append(missing)
         self._robots_delta_hosts = missing.count()
         probe_cap = max(1, self.store.broadcast_threshold_bytes // ROBOTS_PROBE_ROW_BYTES)
         probe = F.broadcast(missing) if self._robots_delta_hosts <= probe_cap else missing
+        if self.live is not None:
+            # Live mode: fetch /robots.txt for the new hosts over the real
+            # network (cost ∝ new hosts by construction — the request set IS
+            # the missing-host probe). Non-2xx / unreachable ⇒ NULL text ⇒
+            # allow-all once, same as a corpus without the page; the parsed
+            # state is cached+checkpointed by run_epoch, so the per-epoch
+            # network cost stays one bounded pass.
+            from scrape_spark.sources.live import fetch_pages
+
+            resp = fetch_pages(
+                missing.select(F.col("__rurl").alias("url")), self.live
+            ).select(
+                F.col("url").alias("__rurl"),
+                F.when(
+                    F.col("status") == 200, F.decode(F.col("html"), "UTF-8")
+                ).alias("robots_txt"),
+            )
+            fetched = missing.join(resp, "__rurl", "left").select(
+                "host", "robots_txt"
+            )
+            parsed = parse_robots(
+                fetched, user_agent=self.cfg.user_agent,
+                host_col="host", txt_col="robots_txt",
+            )
+            return state.unionByName(parsed)
         html_t = {f.name: f.dataType for f in self.pages.schema.fields}["html"]
         body = (
             F.decode(F.col("html"), "UTF-8")
@@ -445,6 +497,20 @@ class Crawl:
             fetched, user_agent=self.cfg.user_agent, host_col="host", txt_col="robots_txt"
         )
         return state.unionByName(parsed)
+
+    def _live_epoch_pages(self, epoch: int, to_fetch: DataFrame) -> DataFrame:
+        """Fetch this epoch's selected URLs over the network and checkpoint
+        them as a pages table in the epoch dir. Idempotent on resume: an
+        existing ``fetched_pages.parquet`` (from a run that died after the
+        fetch but before the commit) is reused, not refetched."""
+        from scrape_spark.sources.live import fetch_pages
+
+        path = os.path.join(self._edir(epoch), "fetched_pages.parquet")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            fetch_pages(
+                to_fetch.select(F.col("parsed_url").alias("url")), self.live
+            ).write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
 
     # ---- one epoch -----------------------------------------------------------
     def run_epoch(self, epoch: int) -> dict:
@@ -640,12 +706,20 @@ class Crawl:
             .withColumn("parsed_url", F.col("url"))
             .repartition(n_part, salted_host_hash("host", cfg.salt))
         )
+        if self.live is not None:
+            # Live mode: THIS epoch's selected URLs fetched over the real
+            # network, checkpointed to the epoch dir so every downstream
+            # recompute (and a resumed run) re-reads bytes instead of
+            # refetching — the network is not idempotent, parquet is.
+            epoch_pages = self._live_epoch_pages(epoch, to_fetch)
+        else:
+            epoch_pages = self.pages
         extracted = fetch_join(
             to_fetch.select(
                 "original_url", "parsed_url", "key", "request_error",
                 "depth", "priority", "rank",
             ),
-            self.pages,
+            epoch_pages,
             probe_rows_hint=int(sel_def.sel),
         ).cache()
         results = finalize_results(extracted, self.store.ttl_seconds).cache()

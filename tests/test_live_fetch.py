@@ -51,6 +51,33 @@ LATIN = (
 )
 
 
+# a small interlinked site for the live-crawl test: root links (relative,
+# single-quoted, absolute-path mix — the spec-v4 resolver forms) to a, b and
+# a robots-disallowed page; a links to c; c is a leaf
+def _site_page(title: str, links: list[str]) -> bytes:
+    anchors = "".join(
+        f"<a href={q}{h}{q}>x</a>"
+        for h, q in zip(links, ["'", '"'] * len(links))
+    )
+    return (
+        f"<!DOCTYPE html><html><head><title>{title}</title>"
+        '<meta property="og:type" content="article"></head>'
+        f"<body><article><h1>{title}</h1><p>Body of {title}.</p>"
+        f"{anchors}</article></body></html>"
+    ).encode()
+
+
+MINI_SITE = {
+    "/site/": _site_page("Home", ["a", "/site/b", "/site/private/x"]),
+    "/site/a": _site_page("Page A", ["c"]),
+    "/site/b": _site_page("Page B", ["/site/a"]),
+    "/site/c": _site_page("Page C", []),
+    "/site/private/x": _site_page("Secret", []),
+}
+
+ROBOTS_TXT = b"User-agent: *\nDisallow: /site/private\n"
+
+
 class _SiteHandler(BaseHTTPRequestHandler):
     seen: list[tuple[str, str | None]] = []  # (path, user-agent)
 
@@ -59,7 +86,11 @@ class _SiteHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         type(self).seen.append((self.path, self.headers.get("User-Agent")))
-        if self.path == "/":
+        if self.path in MINI_SITE:
+            self._page(200, "text/html; charset=utf-8", MINI_SITE[self.path])
+        elif self.path == "/robots.txt":
+            self._page(200, "text/plain", ROBOTS_TXT)
+        elif self.path == "/":
             self._page(200, "text/html; charset=utf-8", ARTICLE)
         elif self.path == "/latin":
             self._page(200, "text/html; charset=iso-8859-1", LATIN)
@@ -493,6 +524,48 @@ class TestFetchPages:
         from scrape_spark.cli import main
 
         assert main(["extract", "http://x.test/"]) == 2
+
+    def test_live_crawl_bfs_with_robots(self, spark, site, tmp_path):
+        """A real BFS crawl over the wire: seeds the mini-site root,
+        discovers outlinks from fetched HTML (relative + single-quoted +
+        absolute-path forms through the spec-v4 resolver), discovers and
+        obeys robots.txt live, memoizes into the store, and checkpoints
+        each epoch's fetched bytes for refetch-free recomputes/resume."""
+        import os
+
+        from scrape_spark.operators.frontier import Crawl, CrawlConfig
+        from scrape_spark.operators.store import UrlStore
+
+        store = UrlStore(spark, str(tmp_path / "store"), n_buckets=4)
+        crawl = Crawl(
+            spark,
+            str(tmp_path / "state"),
+            store,
+            pages=None,
+            robots=None,  # discover /robots.txt over the network
+            config=CrawlConfig(
+                epoch_seconds=10.0, max_depth=4, n_buckets=4,
+                shuffle_partitions=4, user_agent="scrape-spark",
+            ),
+            live=LiveFetchConfig(timeout=10, n_partitions=2),
+        )
+        _SiteHandler.seen.clear()
+        stats = crawl.run(3, seeds=[site + "/site/"])
+        fetched = store.urls.read().select("url").toPandas()["url"].tolist()
+        want = {site + p for p in ["/site/", "/site/a", "/site/b", "/site/c"]}
+        assert want <= set(fetched)
+        # robots obeyed: the disallowed page was never requested on the wire
+        assert not any(p.startswith("/site/private") for p, _ in _SiteHandler.seen)
+        assert site + "/site/private/x" not in fetched
+        # robots.txt fetched exactly once (one host, state accumulated)
+        assert sum(1 for p, _ in _SiteHandler.seen if p == "/robots.txt") == 1
+        # every page fetched exactly once (seen-set + store memoization)
+        site_hits = [p for p, _ in _SiteHandler.seen if p.startswith("/site/")]
+        assert sorted(site_hits) == sorted(set(site_hits))
+        # epoch checkpoints carry the fetched bytes (refetch-free resume)
+        e0 = str(tmp_path / "state" / "epochs" / "e00000" / "fetched_pages.parquet")
+        assert os.path.exists(os.path.join(e0, "_SUCCESS"))
+        assert stats[0]["selected"] >= 1
 
     def test_batch_extract_live_store_memoizes(self, spark, site, tmp_path):
         from scrape_spark.operators.store import UrlStore
