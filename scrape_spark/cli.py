@@ -160,13 +160,36 @@ def cmd_feed(args) -> int:
     from scrape_spark.sources.feed import feed_to_requests, parse_feeds
 
     spark = _spark(args.cores)
-    pages = spark.read.parquet(args.pages)
     req = spark.createDataFrame([(u,) for u in args.urls], ["feed_url"])
-    feeds_xml = req.join(
-        pages.select(F.col("url").alias("feed_url"), F.decode("html", "UTF-8").alias("xml")),
-        "feed_url",
-        "left",
-    )
+    live = None
+    if args.live:
+        # live journey: fetch the feed XML itself over the wire, then the
+        # item links through the live batch pipeline
+        from scrape_spark.sources.live import LiveFetchConfig, fetch_pages
+
+        live = LiveFetchConfig(
+            timeout=args.timeout, max_concurrent=args.max_concurrent
+        )
+        pages = None
+        fetched = fetch_pages(req.select(F.col("feed_url").alias("url")), live)
+        feeds_xml = req.join(
+            fetched.select(
+                F.col("url").alias("feed_url"),
+                F.when(F.col("status") == 200, F.decode("html", "UTF-8")).alias("xml"),
+            ),
+            "feed_url",
+            "left",
+        )
+    else:
+        if not args.pages:
+            print("feed needs --pages (corpus) or --live", file=sys.stderr)
+            return 2
+        pages = spark.read.parquet(args.pages)
+        feeds_xml = req.join(
+            pages.select(F.col("url").alias("feed_url"), F.decode("html", "UTF-8").alias("xml")),
+            "feed_url",
+            "left",
+        )
     links = feed_to_requests(parse_feeds(feeds_xml))
     if not args.extract:
         for r in links.collect():
@@ -177,7 +200,7 @@ def cmd_feed(args) -> int:
     from scrape_spark.plans.batch_extract import batch_extract
 
     store = UrlStore(spark, args.store) if args.store else None
-    out = batch_extract(spark, links.select("url"), pages, store=store)
+    out = batch_extract(spark, links.select("url"), pages, store=store, live=live)
     print(json_array_string(out, drop_text=args.notext))
     return 0
 
@@ -320,7 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.set_defaults(fn=cmd_settings)
 
     fe = sub.add_parser("feed", help="parse RSS/Atom feeds → item links")
-    fe.add_argument("--pages", required=True)
+    fe.add_argument("--pages", default=None)
+    fe.add_argument("--live", action="store_true",
+                    help="fetch feed + items over the real network")
+    fe.add_argument("--timeout", type=float, default=30.0)
+    fe.add_argument("--max-concurrent", type=int, default=6, dest="max_concurrent")
     fe.add_argument(
         "--extract", action="store_true",
         help="run item links through the fetch+extract pipeline (/feed → /batch)",

@@ -78,6 +78,16 @@ MINI_SITE = {
 ROBOTS_TXT = b"User-agent: *\nDisallow: /site/private\n"
 
 
+def _feed_xml(base: str) -> bytes:
+    return (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>Live Feed</title>"
+        f"<item><title>A</title><link>{base}/site/a</link></item>"
+        f"<item><title>B</title><link>{base}/site/b</link></item>"
+        "</channel></rss>"
+    ).encode()
+
+
 class _SiteHandler(BaseHTTPRequestHandler):
     seen: list[tuple[str, str | None]] = []  # (path, user-agent)
 
@@ -90,6 +100,9 @@ class _SiteHandler(BaseHTTPRequestHandler):
             self._page(200, "text/html; charset=utf-8", MINI_SITE[self.path])
         elif self.path == "/robots.txt":
             self._page(200, "text/plain", ROBOTS_TXT)
+        elif self.path == "/feed.xml":
+            base = f"http://{self.headers.get('Host')}"
+            self._page(200, "application/rss+xml", _feed_xml(base))
         elif self.path == "/":
             self._page(200, "text/html; charset=utf-8", ARTICLE)
         elif self.path == "/latin":
@@ -524,6 +537,18 @@ class TestFetchPages:
         from scrape_spark.cli import main
 
         assert main(["extract", "http://x.test/"]) == 2
+
+    def test_cli_feed_live_extract(self, spark, site, capsys):
+        """/feed → /batch journey fully over the wire: the feed XML is
+        fetched live, item links fan out through the live batch pipeline."""
+        from scrape_spark.cli import main
+
+        rc = main(["feed", "--live", "--timeout", "10", "--extract", "--notext",
+                   site + "/feed.xml"])
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert {r["title"] for r in rows} == {"Page A", "Page B"}
+        assert all(r["status_code"] == 200 for r in rows)
 
     def test_live_crawl_bfs_with_robots(self, spark, site, tmp_path):
         """A real BFS crawl over the wire: seeds the mini-site root,
