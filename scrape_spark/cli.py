@@ -25,8 +25,15 @@ import sys
 
 
 def _spark(cores: str = "*"):
+    import os
+
     from scrape_spark.session import get_spark
 
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # launched via spark-submit: master/conf come from the submit
+        # command line (north-rule path: --py-files dist/scrape_spark.zip
+        # tools/submit_entry.py); --cores only shapes standalone local runs
+        return get_spark("scrape-cli")
     return get_spark("scrape-cli", master=f"local[{cores}]")
 
 
@@ -257,6 +264,7 @@ def cmd_crawl(args) -> int:
             max_depth=args.max_depth,
             seen_filter=args.seen_filter,
             user_agent=args.user_agent,
+            expire_snapshots=not args.keep_snapshots,
         ),
         live=live,
     )
@@ -270,7 +278,7 @@ def cmd_maintain(args) -> int:
     from scrape_spark.operators.store import UrlStore
 
     spark = _spark(args.cores)
-    snap = UrlStore(spark, args.store).maintain()
+    snap = UrlStore(spark, args.store).maintain(expire_keep=args.expire_keep)
     print(f"maintained store at {args.store}, snapshot {snap}", file=sys.stderr)
     return 0
 
@@ -359,6 +367,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     ma = sub.add_parser("maintain", help="expire + compact a store")
     ma.add_argument("--store", required=True)
+    ma.add_argument(
+        "--expire-keep",
+        type=int,
+        default=None,
+        metavar="N",
+        help="also expire snapshots, retaining the newest N (reclaims disk; "
+        "disables time travel past the retained window)",
+    )
     ma.set_defaults(fn=cmd_maintain)
 
     de = sub.add_parser("delete", help="delete URLs from a store (canonical rows only)")
@@ -395,6 +411,11 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument(
         "--seen-filter", default="", choices=["", "bloom", "cuckoo", "none"],
         help="seen-set pre-filter (default bloom)",
+    )
+    cr.add_argument(
+        "--keep-snapshots", action="store_true",
+        help="keep full store snapshot history (default: expire snapshots "
+        "older than the resume/filter pins after each epoch)",
     )
     cr.add_argument("seeds", nargs="*")
     cr.set_defaults(fn=cmd_crawl)

@@ -113,6 +113,12 @@ class CrawlConfig:
     # Bounds read-side LWW resolution on long crawls — the reference analog
     # is the daily maintenance ticker (database/sqlite/sqlite.go:76-80).
     compact_after_generations: int = 8
+    # snapshot GC: after each epoch's commit, expire store/id_map snapshots
+    # older than this epoch's parent pins (the filter loader's manifest-walk
+    # terminus and the resume read point) — disk stays ∝ live store + recent
+    # deltas instead of growing with crawl history, the bound a 10^10-URL
+    # frontier needs. False keeps full time-travel history.
+    expire_snapshots: bool = True
     # product token for RFC 9309 user-agent group selection when the crawl
     # discovers robots.txt from the corpus itself (robots=None)
     user_agent: str = "scrape-spark"
@@ -867,12 +873,34 @@ class Crawl:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(edir, "_COMMIT.json"))
+        if self.cfg.expire_snapshots:
+            self._expire_store_snapshots(stats)
         for df in (results, extracted, ranked, seen_keys, *self._epoch_caches):
             df.unpersist()
         self._epoch_caches = []
         if bloom is not None:
             bloom.unpersist()
         return stats
+
+    def _expire_store_snapshots(self, stats: dict) -> None:
+        """Reclaim store disk after the epoch commit (cfg.expire_snapshots):
+        drop snapshots strictly older than this epoch's parent pins — the
+        oldest state the NEXT epoch can touch (the cuckoo loader's
+        foreign-writer manifest walk ends at the parent pin exclusive; the
+        resume path reads the committed snapshot itself). Pure manifest walk
+        + fs deletes via ManifestTable.expire_snapshots — no Spark job.
+        A pin of None (fresh store, epoch 0) keeps full history: the next
+        loader walk terminates only at the chain root."""
+        for table, snap_key, pin_key in (
+            (self.store.urls, "store_snapshot", "store_parent_snapshot"),
+            (self.store.id_map, "idmap_snapshot", "idmap_parent_snapshot"),
+        ):
+            cur, pin = stats.get(snap_key), stats.get(pin_key)
+            if cur is None or pin is None:
+                continue
+            floor = min(pin, cur)
+            keep = len([s for s in table.snapshots() if s >= floor])
+            table.expire_snapshots(keep_last=keep)
 
     def _shape_links(self, ext: DataFrame, epoch: int) -> DataFrame:
         """Shape harvested hrefs as frontier rows at depth+1:

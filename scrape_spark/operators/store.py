@@ -93,6 +93,14 @@ class FileIO:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmdir_if_empty(self, path: str) -> None:
+        """Best-effort removal of a now-empty directory (object stores with
+        no real directories implement this as a no-op)."""
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     """POSIX implementation (the sandbox default)."""
@@ -118,6 +126,15 @@ class LocalFileIO(FileIO):
 
     def size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmdir_if_empty(self, path: str) -> None:
+        try:
+            os.rmdir(path)
+        except OSError:
+            pass  # not empty / already gone
 
 
 class ManifestTable:
@@ -464,6 +481,71 @@ class ManifestTable:
             worst = max(worst, len({e["seq"] for e in fl}))
         return worst
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Iceberg-style snapshot expiration + orphan-file removal (Iceberg's
+        ``expire_snapshots`` and ``remove_orphan_files`` folded into one pass
+        for this single-writer layout): retain the newest ``keep_last``
+        snapshots (CURRENT always retained), delete older manifests, and
+        physically delete data files referenced ONLY by expired snapshots.
+
+        Without this a long-running crawl's store grows without bound — every
+        merge/compact/maintain commit keeps its predecessors' files on disk
+        for time travel. Pure manifest walk + fs deletes: no Spark job, cost
+        ∝ manifests expired + files reclaimed, never O(store rows).
+
+        Interplay with incremental maintainers: a consumer that pinned an
+        expired snapshot (the crawl's persistent cuckoo filter watermark)
+        sees ``commit_metas_between`` return None on the broken parent chain
+        and falls back to a full rebuild — conservative, never incorrect.
+
+        Returns ``{"expired_snapshots", "deleted_files", "reclaimed_bytes"}``.
+        """
+        keep_last = max(1, int(keep_last))
+        snaps = self.snapshots()
+        cur = self.current_snapshot()
+        if not snaps or cur is None:
+            return {"expired_snapshots": 0, "deleted_files": 0, "reclaimed_bytes": 0}
+        retained = set(snaps[-keep_last:]) | {cur}
+        expired = [s for s in snaps if s not in retained]
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0, "reclaimed_bytes": 0}
+
+        def _paths(snap: int) -> set[str]:
+            man = self._load_manifest(snap)
+            return {e["path"] for fl in man["files"].values() for e in fl}
+
+        live: set[str] = set()
+        for s in retained:
+            live |= _paths(s)
+        dead: set[str] = set()
+        for s in expired:
+            dead |= _paths(s)
+        dead -= live
+
+        reclaimed = 0
+        parents: set[str] = set()
+        for p in sorted(dead):
+            try:
+                reclaimed += self.io.size(p)
+                self.io.remove(p)
+            except OSError:
+                continue  # already gone (e.g. a prior interrupted expire)
+            parents.add(os.path.dirname(p))
+        # tidy the per-commit uuid dirs data/<uuid>/__bucket=N/ bottom-up
+        for d in sorted(parents, key=len, reverse=True):
+            self.io.rmdir_if_empty(d)
+            self.io.rmdir_if_empty(os.path.dirname(d))
+        for s in expired:
+            try:
+                self.io.remove(self._manifest_path(s))
+            except OSError:
+                pass
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_files": len(dead),
+            "reclaimed_bytes": reclaimed,
+        }
+
     def touched_buckets(self, df: DataFrame) -> list[int]:
         rows = (
             df.select(bucket_expr(self.key_col, self.n_buckets).alias("b"))
@@ -712,7 +794,11 @@ class UrlStore:
         self.id_map.truncate()
 
     # -- maintenance (S12): physical expiry + delta compaction -------------------
-    def maintain(self, meta: dict[str, Any] | None = None) -> int:
+    def maintain(
+        self,
+        meta: dict[str, Any] | None = None,
+        expire_keep: int | None = None,
+    ) -> int:
         """Physically drop expired rows AND fold delta generations into one
         resolved file set (the compaction half of merge-on-read — run on a
         cadence to bound read-side resolution). Manifest-stat pruned: only
@@ -743,6 +829,11 @@ class UrlStore:
             cur = self.urls.current_snapshot()
             snap = cur if cur is not None else self.urls.truncate(meta)
         self.id_map.compact(meta=meta or {"op": "maintain"})
+        if expire_keep is not None:
+            # reclaim disk from superseded snapshots once the maintenance
+            # commit is durable (the commit just made IS the newest snapshot)
+            self.urls.expire_snapshots(keep_last=expire_keep)
+            self.id_map.expire_snapshots(keep_last=expire_keep)
         return snap
 
     # -- stats (S13) -------------------------------------------------------------

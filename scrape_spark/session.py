@@ -19,9 +19,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # Under spark-submit (detected by the py4j gateway the PythonRunner
+    # launched) the master/conf come from the submit command line — never
+    # override them with the local default; explicit callers still win.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER") or (
+            None if under_submit else "local[*]"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master.startswith("local[") and shuffle_partitions is None:
+    if master and master.startswith("local[") and shuffle_partitions is None:
         inner = master[len("local[") : -1]
         if inner.isdigit():
             shuffle_partitions = int(inner)
@@ -30,9 +37,7 @@ def get_spark(
         else:
             shuffle_partitions = os.cpu_count() or 8
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -53,6 +58,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is not None or not under_submit:
+        # cluster runs without an explicit value keep the submit-conf (or
+        # AQE-coalesced) width; local runs size shuffles to cores
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or 32)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -759,3 +759,30 @@ def test_robots_discovery_gate_counts_epoch0_delta(spark, tmp_path_factory, page
     sel = _selected_tuples(spark, crawl, 0)
     assert sel == [tuple(t) for t in model.selected_per_epoch[0]]
     shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_snapshot_expiration_bounds_history_and_resumes(
+    spark, tmp_path_factory, pages, model
+):
+    """cfg.expire_snapshots (default on): after each epoch the store keeps
+    only snapshots the next epoch can need — history stays O(commits/epoch)
+    instead of O(crawl length) — while the cuckoo filter's incremental
+    advance and checkpoint resume still reproduce the reference model."""
+    tmpdir = str(tmp_path_factory.mktemp("crawl_expire"))
+    crawl = _mk_crawl(spark, tmpdir, pages, seen_filter="cuckoo")
+    crawl.run(2, seeds=seed_urls(N_HOSTS))
+    # bounded: parent pin → current is at most merge+compact per table
+    assert len(crawl.store.urls.snapshots()) <= 4
+    # resume with a FRESH object over the expired-history store: the filter
+    # loader's manifest walk (current → parent pin) must still succeed
+    # incrementally and the finished crawl must match the model exactly
+    crawl2 = _mk_crawl(spark, tmpdir, pages, seen_filter="cuckoo")
+    crawl2.run(N_EPOCHS)
+    got = {r.key for r in crawl2.store.urls.read().select("key").collect()}
+    assert got == model.store_keys
+    for epoch in range(N_EPOCHS):
+        assert _selected_tuples(spark, crawl2, epoch) == [
+            tuple(t) for t in model.selected_per_epoch[epoch]
+        ]
+    assert len(crawl2.store.urls.snapshots()) <= 4
+    shutil.rmtree(tmpdir, ignore_errors=True)

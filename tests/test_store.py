@@ -475,3 +475,95 @@ def test_data_files_ordered_by_expires(spark, store):
                 assert col == sorted(col), e["path"]
                 checked += 1
     assert checked > 0
+
+
+def _data_files_on_disk(root):
+    import os
+
+    out = []
+    data = os.path.join(root, "data")
+    for dirpath, _dirs, files in os.walk(data):
+        out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def test_expire_snapshots_reclaims_superseded_files(spark, store):
+    """Iceberg-style expire_snapshots: after compaction, files referenced
+    only by pre-compaction snapshots are physically deleted, the current
+    read is unchanged, and expired manifests are gone. Without this a
+    long-running crawl's store grows without bound."""
+    for i in range(3):
+        _merge(spark, store, [
+            _result_row(f"https://example.com/gc{i}-{j}",
+                        expires=dt.datetime(2099, 1, 1))
+            for j in range(4)
+        ])
+    store.urls.compact()
+    before_files = _data_files_on_disk(store.urls.root)
+    before_rows = {r.parsed_url for r in store.urls.read().collect()}
+    before_snaps = store.urls.snapshots()
+    assert len(before_snaps) >= 3
+
+    res = store.urls.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == len(before_snaps) - 1
+    assert res["deleted_files"] > 0
+    assert res["reclaimed_bytes"] > 0
+
+    after_files = _data_files_on_disk(store.urls.root)
+    assert len(after_files) < len(before_files)
+    # every surviving file is referenced by the retained manifest; every
+    # referenced file survives (no dangling pointers, no orphans left)
+    man = store.urls._load_manifest()
+    referenced = sorted(e["path"] for fl in man["files"].values() for e in fl)
+    assert referenced == after_files
+    assert store.urls.snapshots() == [store.urls.current_snapshot()]
+    assert {r.parsed_url for r in store.urls.read().collect()} == before_rows
+
+
+def test_expire_snapshots_retains_window(spark, store):
+    """keep_last=2 keeps the previous snapshot time-travel-readable and
+    never deletes files the retained window still references."""
+    _merge(spark, store, [_result_row("https://example.com/w1",
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row("https://example.com/w2",
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row("https://example.com/w3",
+                                      expires=dt.datetime(2099, 1, 1))])
+    snaps = store.urls.snapshots()
+    store.urls.expire_snapshots(keep_last=2)
+    kept = store.urls.snapshots()
+    assert kept == snaps[-2:]
+    # the older retained snapshot still reads fine (its delta files — shared
+    # with the newest snapshot in merge-on-read — were not reclaimed)
+    assert store.urls.read(snapshot=kept[0]).count() == 2
+    assert store.urls.read().count() == 3
+
+
+def test_expire_snapshots_breaks_parent_walk_conservatively(spark, store):
+    """A consumer pinned to an expired snapshot (the crawl's persistent
+    cuckoo filter) must see commit_metas_between → None (unknown history ⇒
+    full rebuild), never a silently wrong delta."""
+    _merge(spark, store, [_result_row("https://example.com/p1",
+                                      expires=dt.datetime(2099, 1, 1))])
+    old = store.urls.current_snapshot()
+    _merge(spark, store, [_result_row("https://example.com/p2",
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row("https://example.com/p3",
+                                      expires=dt.datetime(2099, 1, 1))])
+    cur = store.urls.current_snapshot()
+    assert store.urls.commit_metas_between(cur, old) is not None
+    store.urls.expire_snapshots(keep_last=1)
+    assert store.urls.commit_metas_between(cur, old) is None
+
+
+def test_maintain_with_expire_keep(spark, store):
+    """maintain(expire_keep=1) leaves exactly one snapshot per table and a
+    store that still answers reads."""
+    _merge(spark, store, [_result_row("https://example.com/m1",
+                                      expires=dt.datetime(2099, 1, 1))])
+    _merge(spark, store, [_result_row("https://example.com/m2",
+                                      expires=dt.datetime(2099, 1, 1))])
+    store.maintain(expire_keep=1)
+    assert len(store.urls.snapshots()) == 1
+    assert len(store.id_map.snapshots()) == 1
+    assert store.urls.read().count() == 2
