@@ -269,6 +269,35 @@ def cmd_crawl(args) -> int:
         live=live,
     )
     seeds = list(args.seeds) or None
+    if args.sitemaps and crawl.last_committed_epoch() is None:
+        # sitemap-derived seeding (sources/sitemap.py): entries stay a
+        # DataFrame end-to-end — a 10^8-URL sitemap seed never transits
+        # the driver. Explicit positional seeds may add on top.
+        from scrape_spark.sources.sitemap import (
+            parse_sitemaps,
+            seed_frontier_entries,
+        )
+
+        entries = parse_sitemaps(spark.read.parquet(args.sitemaps))
+        frontier = seed_frontier_entries(entries)
+        if seeds:
+            from scrape_spark.functions.urlkeys import clean_url, hostname_col, url_key
+            from pyspark.sql import functions as F
+
+            extra = (
+                spark.createDataFrame([(u,) for u in seeds], ["raw"])
+                .select(clean_url("raw").alias("url"))
+                .withColumn("key", url_key("url"))
+                .withColumn("host", hostname_col(F.col("url")))
+                .withColumn("depth", F.lit(0))
+                .withColumn("priority", F.lit(0).cast("long"))
+                .withColumn("discovered_epoch", F.lit(0))
+            )
+            frontier = frontier.unionByName(
+                extra.select(*frontier.columns)
+            ).dropDuplicates(["key"])
+        crawl.seed_df(frontier)
+        seeds = None
     for stats in crawl.run(args.epochs, seeds=seeds):
         print(_json.dumps(stats))
     return 0
@@ -416,6 +445,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-snapshots", action="store_true",
         help="keep full store snapshot history (default: expire snapshots "
         "older than the resume/filter pins after each epoch)",
+    )
+    cr.add_argument(
+        "--sitemaps", default=None, metavar="PARQUET",
+        help="seed epoch 0 from sitemap XML pages (url, html) parquet — "
+        "sitemaps.org urlset/index, gzip ok; positional seeds add on top",
     )
     cr.add_argument("seeds", nargs="*")
     cr.set_defaults(fn=cmd_crawl)

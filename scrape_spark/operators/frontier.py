@@ -209,13 +209,26 @@ class Crawl:
             .dropDuplicates(["key"])
             .select(*FRONTIER_SCHEMA.fieldNames())
         )
+        self._write_seed(frontier, {"n_seeds": len(urls)})
+
+    def seed_df(self, frontier: DataFrame) -> None:
+        """Write epoch 0's frontier from FRONTIER_SCHEMA rows — the scale
+        path for seed sets too big to pass through the driver as a list
+        (e.g. sitemap-derived seeds: sources/sitemap.py::
+        seed_frontier_entries). Rows must already be keyed/deduped; the
+        epoch loop's own dedupe still guards."""
+        self._write_seed(
+            frontier.select(*FRONTIER_SCHEMA.fieldNames()), {"n_seeds": "df"}
+        )
+
+    def _write_seed(self, frontier: DataFrame, marker: dict) -> None:
         edir = self._edir(0)
         frontier.write.mode("overwrite").parquet(os.path.join(edir, "frontier.parquet"))
         self.spark.createDataFrame([], ATTEMPTED_SCHEMA).write.mode("overwrite").parquet(
             os.path.join(edir, "attempted.parquet")
         )
         with open(os.path.join(edir, "_SEED.json"), "w") as f:
-            json.dump({"n_seeds": len(urls)}, f)
+            json.dump(marker, f)
 
     # ---- seen-set probe ----------------------------------------------------
     def _filter_kind(self) -> str:
@@ -927,9 +940,10 @@ class Crawl:
         seeds epoch 0; otherwise resumes after the last committed epoch."""
         last = self.last_committed_epoch()
         if last is None:
-            if seeds is None:
-                raise ValueError("fresh crawl needs seeds")
-            if not os.path.exists(os.path.join(self._edir(0), "_SEED.json")):
+            seeded = os.path.exists(os.path.join(self._edir(0), "_SEED.json"))
+            if seeds is None and not seeded:
+                raise ValueError("fresh crawl needs seeds (or a prior seed_df)")
+            if seeds is not None and not seeded:
                 self.seed(seeds)
             start = 0
         else:

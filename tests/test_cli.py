@@ -236,3 +236,33 @@ def test_settings_subcommand_crud(spark, corpus_path, capsys, tmp_path):
     capsys.readouterr()
     assert main(["settings", "--store", sdir, "get", "h00000.ex0.test"]) == 0
     assert json.loads(capsys.readouterr().out) == []
+
+
+def test_crawl_sitemap_seeding(spark, corpus_path, capsys, tmp_path):
+    """`crawl --sitemaps`: epoch 0's frontier comes from sitemap XML pages
+    (urlset entries, DataFrame end-to-end — no driver round-trip) plus any
+    positional seeds; the crawl then fetches exactly those pages."""
+    sm = "<urlset>" + "".join(
+        f"<url><loc>{page_url(0, i)}</loc><priority>0.9</priority></url>"
+        for i in range(3)
+    ) + "</urlset>"
+    sm_pq = str(tmp_path / "sitemaps")
+    spark.createDataFrame(
+        [("https://s.test/sm.xml", bytearray(sm.encode()))], "url string, html binary"
+    ).write.mode("overwrite").parquet(sm_pq)
+    assert main([
+        "crawl", "--pages", corpus_path,
+        "--state", str(tmp_path / "state"), "--store", str(tmp_path / "store"),
+        "--allow-all", "--epochs", "1", "--epoch-seconds", "4",
+        "--sitemaps", sm_pq, page_url(1, 0),
+    ]) == 0
+    stats = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert [s["epoch"] for s in stats] == [0]
+    from scrape_spark.operators.store import UrlStore
+
+    fetched = {
+        r.parsed_url
+        for r in UrlStore(spark, str(tmp_path / "store")).urls.read().collect()
+    }
+    # all sitemap entries plus the positional seed were fetched at epoch 0
+    assert {page_url(0, i) for i in range(3)} | {page_url(1, 0)} <= fetched

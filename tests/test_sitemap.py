@@ -1,0 +1,127 @@
+"""Sitemap ingestion: sitemaps.org urlset/sitemapindex parsing (plain and
+gzipped), robots.txt Sitemap: discovery, and sitemap-derived frontier
+seeding through a real crawl epoch."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from scrape_spark.sources.sitemap import (
+    parse_sitemaps,
+    seed_frontier_entries,
+    sitemap_urls_from_robots,
+)
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://sm.test/a?x=1&amp;y=2</loc>
+    <lastmod>2026-02-01</lastmod>
+    <changefreq>Daily</changefreq>
+    <priority>0.9</priority>
+  </url>
+  <url><loc> https://sm.test/b </loc><lastmod>2026-02-03T04:05:06+00:00</lastmod></url>
+  <url><loc>https://sm.test/c</loc></url>
+</urlset>"""
+
+INDEX = b"""<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://sm.test/sitemap-a.xml</loc><lastmod>2026-01-15</lastmod></sitemap>
+  <sitemap><loc>https://sm.test/sitemap-b.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_urlset_and_index(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://sm.test/sitemap.xml", URLSET),
+            ("https://sm.test/sitemap_index.xml", INDEX),
+            ("https://sm.test/sitemap.xml.gz", gzip.compress(URLSET)),
+        ],
+        ["url", "html"],
+    )
+    rows = parse_sitemaps(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.sitemap_url, r.kind), []).append(r)
+
+    urls = {r.loc: r for r in by[("https://sm.test/sitemap.xml", "url")]}
+    assert set(urls) == {"https://sm.test/a?x=1&y=2", "https://sm.test/b", "https://sm.test/c"}
+    a = urls["https://sm.test/a?x=1&y=2"]
+    assert str(a.lastmod) == "2026-02-01 00:00:00"
+    assert a.changefreq == "daily" and a.priority == 0.9
+    assert str(urls["https://sm.test/b"].lastmod) == "2026-02-03 04:05:06"
+    assert urls["https://sm.test/c"].priority is None
+
+    idx = {r.loc for r in by[("https://sm.test/sitemap_index.xml", "sitemap")]}
+    assert idx == {"https://sm.test/sitemap-a.xml", "https://sm.test/sitemap-b.xml.gz"}
+    # gzipped urlset parses identically
+    gz = {r.loc for r in by[("https://sm.test/sitemap.xml.gz", "url")]}
+    assert len(gz) == 3
+
+
+def test_sitemap_urls_from_robots(spark):
+    txt = (
+        "User-agent: *\nDisallow: /private/\n"
+        "Sitemap: https://rb.test/sitemap.xml\n"
+        "sitemap:https://rb.test/sm2.xml.gz\n"
+        "# Sitemap: https://rb.test/commented.xml\n"  # comment line: ignored
+    )
+    df = spark.createDataFrame(
+        [("rb.test", txt), ("empty.test", None)], ["host", "robots_txt"]
+    )
+    got = {(r.host, r.sitemap_url) for r in sitemap_urls_from_robots(df).collect()}
+    assert got == {
+        ("rb.test", "https://rb.test/sitemap.xml"),
+        ("rb.test", "https://rb.test/sm2.xml.gz"),
+    }
+
+
+def test_seed_frontier_entries_ranks_by_hints(spark):
+    df = spark.createDataFrame(
+        [
+            ("s", "url", "https://sm.test/low", None, None, 0.1),
+            ("s", "url", "https://sm.test/high", None, None, 1.0),
+            ("s", "url", "https://sm.test/high", None, None, 0.2),  # dup, min wins
+            ("s", "sitemap", "https://sm.test/nested.xml", None, None, None),
+        ],
+        "sitemap_url string, kind string, loc string, lastmod timestamp, "
+        "changefreq string, priority double",
+    )
+    seeds = seed_frontier_entries(df)
+    rows = {r.url: r for r in seeds.collect()}
+    assert set(rows) == {"https://sm.test/low", "https://sm.test/high"}  # no 'sitemap' rows
+    assert rows["https://sm.test/high"].priority < rows["https://sm.test/low"].priority
+    assert all(r.depth == 0 for r in rows.values())
+
+
+def test_seed_df_drives_a_crawl_epoch(spark, tmp_path):
+    """Sitemap-seeded crawl: seed_df writes epoch 0's frontier from the
+    entries DataFrame, and run_epoch fetches exactly those pages (robots
+    still applies)."""
+    from scrape_spark.operators.frontier import Crawl, CrawlConfig
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.sources.pages import page_url, robots_table, synth_pages
+
+    pages = synth_pages(spark, 2, 10)
+    sm = "<urlset>" + "".join(
+        f"<url><loc>{page_url(h, i)}</loc></url>" for h in range(2) for i in range(3)
+    ) + "</urlset>"
+    entries = parse_sitemaps(
+        spark.createDataFrame([("https://s.test/sm.xml", sm.encode())], ["url", "html"])
+    )
+    crawl = Crawl(
+        spark,
+        str(tmp_path / "state"),
+        UrlStore(spark, str(tmp_path / "store"), n_buckets=8),
+        pages,
+        robots_table(spark, 2),
+        CrawlConfig(epoch_seconds=4.0, n_buckets=8, shuffle_partitions=4),
+    )
+    crawl.seed_df(seed_frontier_entries(entries))
+    stats = crawl.run_epoch(0)
+    assert stats["selected"] > 0
+    fetched = {r.parsed_url for r in crawl.store.urls.read().collect()}
+    assert fetched <= {page_url(h, i) for h in range(2) for i in range(3)}
+    assert len(fetched) == stats["selected"]
