@@ -885,6 +885,64 @@ def feed_due(spark, sf):
     return due_feeds(feeds, 1700050000)
 
 
+# -- sitemap ingestion (sources/sitemap.py): urlset XML → entry rows ------------
+
+@_q(
+    "sitemap_entries",
+    """SELECT 'https://' || source || '/sitemap.xml' AS sitemap_url,
+              'https://' || source || '/d/' || doc_id AS loc,
+              TIMESTAMP '2026-01-01' + (doc_id % 28) * INTERVAL 1 DAY AS lastmod,
+              CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                   ELSE 'monthly' END AS changefreq,
+              (doc_id % 10) / 10.0 AS priority
+       FROM documents""",
+)
+def sitemap_entries(spark, sf):
+    """Round-trip the sitemap parser: build one urlset XML per source from
+    `documents` (deterministic lastmod/changefreq/priority hints), parse it
+    with the vectorized mapInPandas parser, and emit the recovered entry
+    rows — the oracle reconstructs them directly from the base table."""
+    from scrape_spark.sources.sitemap import parse_sitemaps
+
+    d = _t(spark, sf, "documents")
+    entry_xml = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 28).cast("int")),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod><changefreq>"),
+        F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("</changefreq><priority>"),
+        F.format_string("%.1f", (F.col("doc_id") % 10) / 10.0),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        d.select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit("/sitemap.xml")).alias("url"),
+            entry_xml.alias("__e"),
+        )
+        .groupBy("url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"), F.concat_ws("", F.collect_list("__e")), F.lit("</urlset>")
+            ).alias("html")
+        )
+    )
+    return parse_sitemaps(sitemaps).select(
+        "sitemap_url",
+        "loc",
+        F.col("lastmod").cast("timestamp").alias("lastmod"),
+        "changefreq",
+        "priority",
+    )
+
+
 # -- K3: md5 basename for golden-fixture naming --------------------------------
 
 @_q(

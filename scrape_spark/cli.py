@@ -274,11 +274,28 @@ def cmd_crawl(args) -> int:
         # DataFrame end-to-end — a 10^8-URL sitemap seed never transits
         # the driver. Explicit positional seeds may add on top.
         from scrape_spark.sources.sitemap import (
+            corpus_fetcher,
+            expand_sitemap_entries,
             parse_sitemaps,
             seed_frontier_entries,
         )
 
-        entries = parse_sitemaps(spark.read.parquet(args.sitemaps))
+        from pyspark.sql import functions as _F
+
+        def _uh(df):  # (url, html<binary>) — string html casts to UTF-8 bytes
+            return df.select("url", _F.col("html").cast("binary").alias("html"))
+
+        sm_pages = _uh(spark.read.parquet(args.sitemaps))
+        entries = parse_sitemaps(sm_pages)
+        # <sitemapindex> recursion: nested sitemaps resolve from the given
+        # parquet + the pages corpus, or over the network in --live mode
+        if pages is not None:
+            fetch_fn = corpus_fetcher(sm_pages.unionByName(_uh(pages)))
+        else:
+            from scrape_spark.sources.live import fetch_pages
+
+            fetch_fn = lambda u: fetch_pages(u, live)  # noqa: E731
+        entries = expand_sitemap_entries(entries, fetch_fn)
         frontier = seed_frontier_entries(entries)
         if seeds:
             from scrape_spark.functions.urlkeys import clean_url, hostname_col, url_key

@@ -171,6 +171,52 @@ def parse_sitemaps(
     return src.mapInPandas(run, schema=SITEMAP_ENTRY_SCHEMA)
 
 
+def corpus_fetcher(pages: DataFrame, url_col: str = "url", html_col: str = "html"):
+    """Resolve sitemap URLs against an already-fetched pages corpus: a
+    left-semi join (requested side small, host-dimension — AQE broadcasts
+    it) returning only the (url, html) pairs present in the corpus."""
+
+    def fetch(urls_df: DataFrame) -> DataFrame:
+        return pages.select(
+            F.col(url_col).alias("url"), F.col(html_col).alias("html")
+        ).join(urls_df.select("url"), "url", "left_semi")
+
+    return fetch
+
+
+def expand_sitemap_entries(entries: DataFrame, fetch_fn, max_levels: int = 5) -> DataFrame:
+    """Recurse through ``<sitemapindex>`` references: ``kind='sitemap'``
+    rows are fetched (``fetch_fn(urls_df) -> (url, html)`` — a corpus join
+    via :func:`corpus_fetcher` or a live ``fetch_pages``) and parsed again
+    until a level yields nothing new. The driver loop sees only a per-level
+    existence probe (``limit(1).count()``); entry rows stay distributed.
+    Already-visited sitemap URLs are anti-joined out, so reference cycles
+    terminate; ``max_levels`` bounds pathological chains (the protocol
+    itself allows only one index level)."""
+    out = entries.where(F.col("kind") == "url")
+    visited = entries.select(F.col("sitemap_url").alias("u")).distinct()
+    pending = (
+        entries.where(F.col("kind") == "sitemap")
+        .select(F.col("loc").alias("u"))
+        .distinct()
+    )
+    for _ in range(max_levels):
+        targets = pending.join(visited, "u", "left_anti").persist()
+        if targets.limit(1).count() == 0:
+            targets.unpersist()
+            break
+        # persist: fetch_fn may be a live network fetch — materialize once
+        parsed = parse_sitemaps(fetch_fn(targets.select(F.col("u").alias("url")))).persist()
+        out = out.unionByName(parsed.where(F.col("kind") == "url"))
+        pending = (
+            parsed.where(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias("u"))
+            .distinct()
+        )
+        visited = visited.unionByName(targets.select("u"))
+    return out
+
+
 def seed_frontier_entries(entries: DataFrame) -> DataFrame:
     """``kind='url'`` sitemap entries → FRONTIER_SCHEMA rows (depth 0;
     priority orders by sitemap hints: higher <priority> first, then fresher

@@ -125,3 +125,50 @@ def test_seed_df_drives_a_crawl_epoch(spark, tmp_path):
     fetched = {r.parsed_url for r in crawl.store.urls.read().collect()}
     assert fetched <= {page_url(h, i) for h in range(2) for i in range(3)}
     assert len(fetched) == stats["selected"]
+
+
+def test_expand_sitemap_index_recursion(spark):
+    """sitemapindex → nested urlsets resolve from a pages corpus, across
+    two index levels; a self-referencing cycle terminates."""
+    from scrape_spark.sources.sitemap import corpus_fetcher, expand_sitemap_entries
+
+    top = (b"<sitemapindex>"
+           b"<sitemap><loc>https://sm.test/l1.xml</loc></sitemap>"
+           b"<sitemap><loc>https://sm.test/cycle.xml</loc></sitemap>"
+           b"</sitemapindex>")
+    l1 = (b"<sitemapindex>"
+          b"<sitemap><loc>https://sm.test/l2.xml</loc></sitemap>"
+          b"</sitemapindex>")
+    l2 = b"<urlset><url><loc>https://sm.test/deep</loc></url></urlset>"
+    cyc = (b"<sitemapindex>"
+           b"<sitemap><loc>https://sm.test/cycle.xml</loc></sitemap>"
+           b"<sitemap><loc>https://sm.test/top.xml</loc></sitemap>"
+           b"</sitemapindex>")
+    corpus = spark.createDataFrame(
+        [("https://sm.test/top.xml", bytearray(top)),
+         ("https://sm.test/l1.xml", bytearray(l1)),
+         ("https://sm.test/l2.xml", bytearray(l2)),
+         ("https://sm.test/cycle.xml", bytearray(cyc))],
+        "url string, html binary",
+    )
+    entries = parse_sitemaps(corpus.where(F.col("url").endswith("top.xml")))
+    out = expand_sitemap_entries(entries, corpus_fetcher(corpus))
+    assert {r.loc for r in out.collect()} == {"https://sm.test/deep"}
+    assert all(r.kind == "url" for r in out.collect())
+
+
+def test_expand_missing_nested_sitemap_is_skipped(spark):
+    """An index entry whose sitemap is absent from the corpus contributes
+    nothing (and doesn't error) — the corpus fetcher just returns no row."""
+    from scrape_spark.sources.sitemap import corpus_fetcher, expand_sitemap_entries
+
+    corpus = spark.createDataFrame(
+        [("https://sm.test/top.xml", INDEX),
+         ("https://sm.test/sitemap-a.xml",
+          b"<urlset><url><loc>https://sm.test/a1</loc></url></urlset>")],
+        "url string, html binary",
+    )
+    entries = parse_sitemaps(corpus.where(F.col("url").endswith("top.xml")))
+    out = expand_sitemap_entries(entries, corpus_fetcher(corpus))
+    # sitemap-b.xml.gz referenced by INDEX is not in the corpus → only a1
+    assert {r.loc for r in out.collect()} == {"https://sm.test/a1"}
