@@ -885,6 +885,61 @@ def feed_due(spark, sf):
     return due_feeds(feeds, 1700050000)
 
 
+# -- training-corpus export plan (plans/export.py) ------------------------------
+
+@_q(
+    "corpus_export",
+    """WITH base AS (
+         SELECT doc_id, text,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                     THEN length(text)::DOUBLE / len(string_split_regex(trim(text), '\\s+'))
+                     ELSE 0.0 END AS mean_tok,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\\b(die|der|und|das|ist)\\b')) AS s_de,
+                len(regexp_extract_all(lower(text), '\\b(el|los|de|las|y)\\b')) AS s_es,
+                length(lower(text)) - length(regexp_replace(lower(text), '[一-鿿]', '', 'g')) AS s_zh
+         FROM documents
+         WHERE length(coalesce(text, '')) > 0),
+       ann AS (
+         SELECT doc_id, text, n_tokens,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang,
+           round(greatest(0.0, least(1.0,
+             0.4 * (CASE WHEN length(text) >= 200 THEN 1.0
+                         WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z一-鿿]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0.0 END)
+           + 0.2 * (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.5 END)
+           - 0.1 * (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0.0 END))), 4) AS quality
+         FROM base)
+       SELECT doc_id, lang, quality, n_tokens
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9一-鿿]', '', 'g'))
+               ORDER BY doc_id) AS rn
+             FROM ann WHERE quality >= 0.5)
+       WHERE rn = 1""",
+)
+def corpus_export(spark, sf):
+    """The full export plan (plans/export.py::export_corpus — the `export`
+    CLI journey): ok-filter → annotate(lang/quality/tokens) → quality gate →
+    exact fingerprint dedup, mirrored end-to-end by the oracle CTE chain."""
+    from scrape_spark.plans.export import export_corpus
+
+    d = _t(spark, sf, "documents")
+    return export_corpus(
+        d, id_col="doc_id", text_col="text", min_quality=0.5
+    ).select("doc_id", "lang", "quality", "n_tokens")
+
+
 # -- sitemap ingestion (sources/sitemap.py): urlset XML → entry rows ------------
 
 @_q(

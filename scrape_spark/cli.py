@@ -320,6 +320,33 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Store → training corpus: annotate, gate, dedup, write parquet.
+    Prints one JSON stats line (row count read from the written parquet's
+    footer metadata — no second pass over the data)."""
+    import json as _json
+
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.plans.export import export_corpus
+
+    spark = _spark(args.cores)
+    rows = UrlStore(spark, args.store).urls.read()
+    out = export_corpus(
+        rows,
+        min_quality=args.min_quality,
+        langs=args.lang or None,
+        neardup=args.neardup or None,
+        threshold=args.threshold,
+        keep_cols=["parsed_url", "title"],
+    )
+    if args.notext:
+        out = out.drop("content_text")
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()  # footer-metadata count
+    print(_json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     from scrape_spark.operators.store import UrlStore
 
@@ -410,6 +437,25 @@ def build_parser() -> argparse.ArgumentParser:
     fe.add_argument("--notext", action="store_true", help="omit content_text (with --extract)")
     fe.add_argument("urls", nargs="+")
     fe.set_defaults(fn=cmd_feed)
+
+    ex = sub.add_parser(
+        "export", help="store → deduplicated, quality-gated training corpus"
+    )
+    ex.add_argument("--store", required=True)
+    ex.add_argument("--out", required=True, help="output parquet dir")
+    ex.add_argument("--min-quality", type=float, default=None, dest="min_quality")
+    ex.add_argument(
+        "--lang", action="append", default=[],
+        help="keep only these detected languages (repeatable)",
+    )
+    ex.add_argument(
+        "--neardup", default="", choices=["", "minhash", "simhash"],
+        help="near-duplicate drop after exact dedup (default: exact only)",
+    )
+    ex.add_argument("--threshold", type=float, default=0.7,
+                    help="jaccard threshold for --neardup minhash")
+    ex.add_argument("--notext", action="store_true", help="omit content_text")
+    ex.set_defaults(fn=cmd_export)
 
     ma = sub.add_parser("maintain", help="expire + compact a store")
     ma.add_argument("--store", required=True)

@@ -266,3 +266,21 @@ def test_crawl_sitemap_seeding(spark, corpus_path, capsys, tmp_path):
     }
     # all sitemap entries plus the positional seed were fetched at epoch 0
     assert {page_url(0, i) for i in range(3)} | {page_url(1, 0)} <= fetched
+
+
+def test_export_subcommand(spark, corpus_path, capsys, tmp_path):
+    """`export`: crawl/extract store → deduplicated annotated corpus
+    parquet, one JSON stats line on stdout."""
+    store = str(tmp_path / "store")
+    assert main(["extract", "--pages", corpus_path, "--store", store,
+                 page_url(0, 0), page_url(0, 1), page_url(1, 0)]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "corpus")
+    assert main(["export", "--store", store, "--out", out, "--notext"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows"] >= 1
+    got = spark.read.parquet(out)
+    cols = set(got.columns)
+    assert {"key", "lang", "quality", "n_tokens", "parsed_url"} <= cols
+    assert "content_text" not in cols
+    assert got.count() == stats["rows"]
