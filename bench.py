@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedupe_lastwin",
     "sessionize",
     "fingerprint_dedup",
+    "corpus_export",
     "jaccard_pairs_trigram",
     "minhash_neardup",
     "embedding_neardup",

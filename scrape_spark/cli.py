@@ -265,6 +265,7 @@ def cmd_crawl(args) -> int:
             seen_filter=args.seen_filter,
             user_agent=args.user_agent,
             expire_snapshots=not args.keep_snapshots,
+            discover_sitemaps=args.discover_sitemaps,
         ),
         live=live,
     )
@@ -508,6 +509,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-snapshots", action="store_true",
         help="keep full store snapshot history (default: expire snapshots "
         "older than the resume/filter pins after each epoch)",
+    )
+    cr.add_argument(
+        "--discover-sitemaps", action="store_true", dest="discover_sitemaps",
+        help="harvest Sitemap: lines from each new host's discovered "
+        "robots.txt and feed the advertised URLs into the frontier",
     )
     cr.add_argument(
         "--sitemaps", default=None, metavar="PARQUET",

@@ -122,6 +122,13 @@ class CrawlConfig:
     # product token for RFC 9309 user-agent group selection when the crawl
     # discovers robots.txt from the corpus itself (robots=None)
     user_agent: str = "scrape-spark"
+    # in discovered-robots mode, also harvest `Sitemap:` lines from each NEW
+    # host's robots.txt, fetch+parse the advertised sitemaps (urlset + one
+    # index level) and feed their page URLs into the next frontier at
+    # depth 1 — host-curated discovery beyond link-following. Cost ∝ new
+    # hosts/epoch: a host's sitemaps are processed exactly once, and epochs
+    # with no new hosts skip the stage entirely (no corpus scan).
+    discover_sitemaps: bool = False
     # "" derives from use_bloom; explicit values: "bloom" | "cuckoo" | "none"
     seen_filter: str = ""
     bloom_bits_per_key: int = 10
@@ -176,6 +183,7 @@ class Crawl:
         self.cfg = config or CrawlConfig()
         self._epoch_caches: list[DataFrame] = []
         self._robots_delta_hosts = 0  # set per-epoch by _robots_for_epoch
+        self._robots_raw_delta = None  # (host, robots_txt) for this epoch's NEW hosts
         os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
 
     # ---- checkpoint bookkeeping -------------------------------------------
@@ -479,7 +487,9 @@ class Crawl:
             )
             fetched = missing.join(resp, "__rurl", "left").select(
                 "host", "robots_txt"
-            )
+            ).cache()  # network fetch must not recompute (sitemap harvest reads it)
+            self._epoch_caches.append(fetched)
+            self._robots_raw_delta = fetched
             parsed = parse_robots(
                 fetched, user_agent=self.cfg.user_agent,
                 host_col="host", txt_col="robots_txt",
@@ -512,10 +522,60 @@ class Crawl:
             found.select("host"), "host", "left_anti"
         ).withColumn("robots_txt", F.lit(None).cast("string"))
         fetched = found.unionByName(absent.select("host", "robots_txt"))
+        self._robots_raw_delta = fetched  # `found` is cached; `absent` derives from it
         parsed = parse_robots(
             fetched, user_agent=self.cfg.user_agent, host_col="host", txt_col="robots_txt"
         )
         return state.unionByName(parsed)
+
+    def _sitemap_links_for_epoch(self, epoch: int) -> DataFrame | None:
+        """cfg.discover_sitemaps: harvest ``Sitemap:`` lines from THIS
+        epoch's robots delta (new hosts only — each host's sitemaps are
+        processed exactly once, the epoch their robots.txt is first
+        fetched), fetch + parse the advertised sitemaps (index recursion
+        capped at one nested level, per the protocol), and return their
+        page URLs as frontier rows at depth 1. Returns None when the stage
+        has nothing to do — zero new hosts, or no Sitemap lines — WITHOUT
+        touching the corpus (the two probes are host-dimension counts)."""
+        if self._robots_raw_delta is None or self._robots_delta_hosts == 0:
+            return None
+        from scrape_spark.sources.sitemap import (
+            corpus_fetcher,
+            expand_sitemap_entries,
+            parse_sitemaps,
+            seed_frontier_entries,
+            sitemap_urls_from_robots,
+        )
+
+        sm_urls = (
+            sitemap_urls_from_robots(self._robots_raw_delta)
+            .select(F.col("sitemap_url").alias("url"))
+            .distinct()
+            .cache()
+        )
+        self._epoch_caches.append(sm_urls)
+        if sm_urls.limit(1).count() == 0:
+            return None
+        if self.live is not None:
+            from scrape_spark.sources.live import fetch_pages
+
+            def fetch_fn(u):
+                return fetch_pages(u, self.live).select("url", "html")
+        else:
+            fetch_fn = corpus_fetcher(
+                self.pages.select(
+                    "url", F.col("html").cast("binary").alias("html")
+                )
+            )
+        entries = expand_sitemap_entries(
+            parse_sitemaps(fetch_fn(sm_urls)), fetch_fn, max_levels=2
+        )
+        return (
+            seed_frontier_entries(entries)
+            .withColumn("depth", F.lit(1))
+            .withColumn("discovered_epoch", F.lit(epoch + 1))
+            .select(*FRONTIER_SCHEMA.fieldNames())
+        )
 
     def _live_epoch_pages(self, epoch: int, to_fetch: DataFrame) -> DataFrame:
         """Fetch this epoch's selected URLs over the network and checkpoint
@@ -535,6 +595,7 @@ class Crawl:
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         self._epoch_caches = []
+        self._robots_raw_delta = None
         prev = self._edir(epoch)
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(prev, "frontier.parquet")
@@ -744,13 +805,20 @@ class Crawl:
         results = finalize_results(extracted, self.store.ttl_seconds).cache()
         errors = results.filter(F.col("error").isNotNull())
 
-        # 5. outlink discovery from the same extraction pass
+        # 5. outlink discovery from the same extraction pass — plus, in
+        # discovered-robots mode, sitemap-advertised URLs for this epoch's
+        # NEW hosts (host-curated discovery; their hint-derived priorities
+        # are negative, so they rank ahead of depth-priority outlinks)
         links = self._shape_links(
             extracted.filter(F.col("extract_error").isNull())
             .filter(F.col("__page_url").isNotNull())
             .select("depth", "links"),
             epoch,
         )
+        if cfg.discover_sitemaps and self.robots is None:
+            sm_rows = self._sitemap_links_for_epoch(epoch)
+            if sm_rows is not None:
+                links = links.unionByName(sm_rows)
 
         # 6. merges + next frontier (dedupe by key, min depth wins). The
         # crawl marks its own store commits so the seen-filter loader can

@@ -172,3 +172,63 @@ def test_expand_missing_nested_sitemap_is_skipped(spark):
     out = expand_sitemap_entries(entries, corpus_fetcher(corpus))
     # sitemap-b.xml.gz referenced by INDEX is not in the corpus → only a1
     assert {r.loc for r in out.collect()} == {"https://sm.test/a1"}
+
+
+def test_crawl_discovers_sitemaps_from_robots(spark, tmp_path):
+    """cfg.discover_sitemaps + discovered-robots mode: a host's robots.txt
+    advertises a sitemap whose URLs are NOT linked from any page; the crawl
+    fetches them anyway (epoch 1, depth 1), while a run without the flag
+    never finds them."""
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.frontier import Crawl, CrawlConfig
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.schemas import PAGES_FETCH_SCHEMA
+    from scrape_spark.sources.pages import host_name, page_url, synth_pages
+
+    host = host_name(0)
+    # pages 900.. are sitemap-only: no outlink reaches that range.
+    # 902 % 29 == 3 → a /private/ path: robots must deny it even though the
+    # sitemap advertises it (exclusion applies to every discovery source).
+    sm_all = [page_url(0, 900 + i) for i in range(4)]
+    sm_only = [u for u in sm_all if "/private/" not in u]
+    sm_denied = [u for u in sm_all if "/private/" in u]
+    assert len(sm_denied) == 1
+    sm_xml = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc><priority>0.9</priority></url>" for u in sm_all
+    ) + "</urlset>"
+    robots_txt = (
+        "User-agent: *\nDisallow: /private/\n"
+        f"Sitemap: https://{host}/sitemap.xml\n"
+    )
+    extra = spark.createDataFrame(
+        [
+            (f"https://{host}/robots.txt", None, robots_txt.encode(), robots_txt,
+             "en", "text/plain", 200, None),
+            (f"https://{host}/sitemap.xml", None, sm_xml.encode(), sm_xml,
+             "en", "application/xml", 200, None),
+        ],
+        schema=PAGES_FETCH_SCHEMA,
+    )
+    pages = synth_pages(spark, 1, 1000).unionByName(extra)
+
+    def run(flag, sub):
+        crawl = Crawl(
+            spark,
+            str(tmp_path / f"state{sub}"),
+            UrlStore(spark, str(tmp_path / f"store{sub}"), n_buckets=8),
+            pages,
+            None,  # discovered-robots mode
+            CrawlConfig(epoch_seconds=8.0, n_buckets=8, shuffle_partitions=4,
+                        discover_sitemaps=flag),
+        )
+        crawl.run(2, seeds=[page_url(0, 0)])
+        return {r.parsed_url for r in crawl.store.urls.read().collect()}
+
+    with_sm = run(True, "a")
+    without = run(False, "b")
+    assert set(sm_only) <= with_sm
+    assert not (set(sm_denied) & with_sm)  # robots gates sitemap URLs too
+    assert not (set(sm_only) & without)
+    # everything else the two crawls fetched is identical
+    assert with_sm - set(sm_only) == without

@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # audit only what actually executed
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
 
 
 def main() -> int:
@@ -87,6 +91,30 @@ def main() -> int:
 
     probe = store.fetch([page_url(0, 1)])
     check("point fetch has no cartesian join", "CartesianProduct" not in plan_of(probe))
+
+    # --- corpus-export plan ----------------------------------------------------
+    from scrape_spark.plans.export import export_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog", 200)
+         for i in range(50)],
+        "key long, content_text string, status_code int",
+    )
+    exp = export_corpus(docs, min_quality=0.0)
+    exp.collect()
+    pe = plan_of(exp)
+    check(
+        "export: exact dedup is ONE fingerprint shuffle",
+        pe.count("Exchange hashpartitioning") == 1,
+        f"{pe.count('Exchange hashpartitioning')} hash exchanges",
+    )
+    nd = export_corpus(docs, neardup="minhash", threshold=0.5)
+    nd.collect()
+    pn = plan_of(nd)
+    check(
+        "export+neardup: no cartesian/nested-loop join",
+        "CartesianProduct" not in pn and "BroadcastNestedLoopJoin" not in pn,
+    )
 
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     return 1 if failures else 0
