@@ -37,7 +37,7 @@ def _spark(cores: str = "*"):
     return get_spark("scrape-cli", master=f"local[{cores}]")
 
 
-def _request_df(spark, args) -> "DataFrame":  # noqa: F821
+def _request_df(spark, args, default_all=None) -> "DataFrame":  # noqa: F821
     from pyspark.sql import functions as F
 
     urls = list(args.urls)
@@ -50,6 +50,9 @@ def _request_df(spark, args) -> "DataFrame":  # noqa: F821
         base = spark.createDataFrame([(u,) for u in urls], ["url"]) if urls else None
         return csv_urls if base is None else base.unionByName(csv_urls)
     if not urls:
+        if default_all is not None:
+            # whole-corpus mode (WARC ingest): extract every captured page
+            return default_all.select("url")
         print("no URLs given (pass urls or --csv)", file=sys.stderr)
         sys.exit(2)
     return spark.createDataFrame([(u,) for u in urls], ["url"])
@@ -81,24 +84,43 @@ def cmd_extract(args) -> int:
             headless_endpoint=args.headless_endpoint,
         )
         pages = None
-    else:
-        if not args.pages:
-            print("extract needs --pages (corpus) or --live", file=sys.stderr)
-            return 2
+    elif args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.warc:
+        # WARC segment ingest (Common Crawl's distribution format): with no
+        # explicit URLs the whole dump is the request set — the CC-to-corpus
+        # journey is `extract --warc ... --store S --out R` then `export`.
+        # latest_captures collapses recrawl duplicates (newest warc_ts wins).
+        from scrape_spark.sources.warc import latest_captures, warc_pages
+
+        pages = latest_captures(warc_pages(spark, args.warc))
+    else:
+        print("extract needs --pages/--warc (corpus) or --live", file=sys.stderr)
+        return 2
     store = UrlStore(spark, args.store) if args.store else None
     settings = (
         DomainSettingsStore(spark, args.settings) if getattr(args, "settings", None) else None
     )
     out = batch_extract(
         spark,
-        _request_df(spark, args),
+        _request_df(spark, args, default_all=pages if args.warc else None),
         pages,
         store=store,
         settings=settings,
         fetch_method=FETCH_METHOD_HEADLESS if args.headless else FETCH_METHOD_DIRECT,
         live=live,
     )
+    if args.out:
+        # distributed sink — the dump-scale path; the stdout JSON array is
+        # the reference-parity small-batch surface
+        import json as _json
+
+        (out.drop("content_text") if args.notext else out).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        n = spark.read.parquet(args.out).count()  # footer-metadata count
+        print(_json.dumps({"out": args.out, "rows": n}))
+        return 0
     print(json_array_string(out, drop_text=args.notext))
     return 0
 
@@ -236,8 +258,12 @@ def cmd_crawl(args) -> int:
         pages = None
     elif args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.warc:
+        from scrape_spark.sources.warc import latest_captures, warc_pages
+
+        pages = latest_captures(warc_pages(spark, args.warc))
     else:
-        print("crawl needs --pages (corpus) or --live", file=sys.stderr)
+        print("crawl needs --pages/--warc (corpus) or --live", file=sys.stderr)
         return 2
     if args.robots_txt:
         from scrape_spark.sources.robots import parse_robots
@@ -393,6 +419,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     ex = sub.add_parser("extract", help="batch fetch+extract → JSON array")
     ex.add_argument("--pages", default=None, help="pages corpus parquet")
+    ex.add_argument("--warc", default=None, metavar="GLOB",
+                    help="WARC segment files as the corpus (e.g. 'segs/*.warc.gz'); "
+                    "with no URLs, extracts the whole dump")
+    ex.add_argument("--out", default=None, metavar="PARQUET",
+                    help="write results to parquet instead of a stdout JSON array")
     ex.add_argument("--store", default=None, help="memoization store dir")
     ex.add_argument("--notext", action="store_true", help="omit content_text")
     ex.add_argument("--headless", action="store_true", help="headless client")
@@ -481,6 +512,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     cr = sub.add_parser("crawl", help="BFS crawl epochs → store (resumable)")
     cr.add_argument("--pages", default=None, help="pages corpus parquet")
+    cr.add_argument("--warc", default=None, metavar="GLOB",
+                    help="WARC segment files as the corpus")
     cr.add_argument("--live", action="store_true",
                     help="fetch over the real network instead of --pages")
     cr.add_argument("--timeout", type=float, default=30.0,

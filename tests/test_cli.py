@@ -284,3 +284,28 @@ def test_export_subcommand(spark, corpus_path, capsys, tmp_path):
     assert {"key", "lang", "quality", "n_tokens", "parsed_url"} <= cols
     assert "content_text" not in cols
     assert got.count() == stats["rows"]
+
+
+def test_warc_dump_to_corpus_journey(spark, capsys, tmp_path):
+    """The Common-Crawl journey in two commands: `extract --warc` ingests
+    the segments (whole dump = request set), stores + writes result
+    parquet; `export` turns the store into the training corpus."""
+    from tests.test_warc import _segment
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "part-0.warc").write_bytes(_segment())
+    store, results = str(tmp_path / "store"), str(tmp_path / "results")
+    assert main(["extract", "--warc", f"{seg_dir}/*.warc", "--store", store,
+                 "--out", results, "--notext"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows"] == 4  # a, b (gzip), c (chunked), old (redirect 404)
+    got = spark.read.parquet(results)
+    assert "content_text" not in got.columns
+    urls = {r.original_url for r in got.collect()}
+    assert {"https://wa.test/a", "https://wa.test/b", "https://wa.test/c"} <= urls
+
+    out = str(tmp_path / "corpus")
+    assert main(["export", "--store", store, "--out", out]) == 0
+    exp = json.loads(capsys.readouterr().out)
+    assert exp["rows"] >= 1

@@ -145,3 +145,22 @@ def test_warc_pages_to_extract_pipeline(spark, tmp_path):
     assert ext["https://wa.test/a"].title == "A"
     assert ext["https://wa.test/a"].content_text == "alpha text"
     assert ext["https://wa.test/b"].content_text == "beta text"
+
+
+def test_latest_captures_collapses_recrawls(spark):
+    """Recrawl duplicates collapse to the newest capture per URL (warc_ts
+    order, content-hash tiebreak) — a CC dump's segments overlap."""
+    import datetime as dt
+
+    from scrape_spark.sources.warc import latest_captures
+
+    df = spark.createDataFrame(
+        [
+            ("https://wa.test/a", dt.datetime(2026, 1, 1), b"old", "old", "en"),
+            ("https://wa.test/a", dt.datetime(2026, 2, 1), b"new", "new", "en"),
+            ("https://wa.test/b", None, b"only", "only", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r.url: bytes(r.html) for r in latest_captures(df).collect()}
+    assert got == {"https://wa.test/a": b"new", "https://wa.test/b": b"only"}
