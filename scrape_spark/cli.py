@@ -58,6 +58,16 @@ def _request_df(spark, args, default_all=None) -> "DataFrame":  # noqa: F821
     return spark.createDataFrame([(u,) for u in urls], ["url"])
 
 
+def _write_parquet_stats(spark, df, out_path: str) -> None:
+    """Distributed parquet sink + one JSON stats line on stdout (row count
+    read from the written files' footer metadata — no second data pass)."""
+    import json as _json
+
+    df.write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    print(_json.dumps({"out": out_path, "rows": n}))
+
+
 def cmd_extract(args) -> int:
     from scrape_spark.operators.json_sink import json_array_string
     from scrape_spark.operators.settings import DomainSettingsStore
@@ -65,6 +75,9 @@ def cmd_extract(args) -> int:
     from scrape_spark.plans.batch_extract import batch_extract
     from scrape_spark.schemas import FETCH_METHOD_DIRECT, FETCH_METHOD_HEADLESS
 
+    if args.warc and (args.pages or args.live):
+        print("--warc is a corpus source; it excludes --pages/--live", file=sys.stderr)
+        return 2
     spark = _spark(args.cores)
     live = None
     if args.live:
@@ -113,13 +126,9 @@ def cmd_extract(args) -> int:
     if args.out:
         # distributed sink — the dump-scale path; the stdout JSON array is
         # the reference-parity small-batch surface
-        import json as _json
-
-        (out.drop("content_text") if args.notext else out).write.mode(
-            "overwrite"
-        ).parquet(args.out)
-        n = spark.read.parquet(args.out).count()  # footer-metadata count
-        print(_json.dumps({"out": args.out, "rows": n}))
+        _write_parquet_stats(
+            spark, out.drop("content_text") if args.notext else out, args.out
+        )
         return 0
     print(json_array_string(out, drop_text=args.notext))
     return 0
@@ -245,6 +254,16 @@ def cmd_crawl(args) -> int:
     from scrape_spark.operators.store import UrlStore
     from scrape_spark.schemas import ROBOTS_SCHEMA
 
+    if args.discover_sitemaps and (args.allow_all or args.robots or args.robots_txt):
+        # the harvest reads Sitemap: lines out of the robots.txt the crawl
+        # itself discovers — with a pre-supplied rules table (or robots
+        # disabled) there is no raw robots text to harvest from
+        print(
+            "--discover-sitemaps needs discovered-robots mode "
+            "(drop --allow-all/--robots/--robots-txt)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args.cores)
     live = None
     if args.live:
@@ -322,7 +341,8 @@ def cmd_crawl(args) -> int:
             from scrape_spark.sources.live import fetch_pages
 
             fetch_fn = lambda u: fetch_pages(u, live)  # noqa: E731
-        entries = expand_sitemap_entries(entries, fetch_fn)
+        sm_caches: list = []
+        entries = expand_sitemap_entries(entries, fetch_fn, caches=sm_caches)
         frontier = seed_frontier_entries(entries)
         if seeds:
             from scrape_spark.functions.urlkeys import clean_url, hostname_col, url_key
@@ -341,6 +361,14 @@ def cmd_crawl(args) -> int:
                 extra.select(*frontier.columns)
             ).dropDuplicates(["key"])
         crawl.seed_df(frontier)
+        for df in sm_caches:
+            df.unpersist()
+        if not crawl.seeded_frontier_nonempty():
+            # a sitemaps parquet that yields zero url entries (wrong/empty
+            # XML, unresolvable index refs) must fail loudly, not "finish"
+            # a 0-page crawl successfully
+            print("--sitemaps produced no seed URLs", file=sys.stderr)
+            return 2
         seeds = None
     for stats in crawl.run(args.epochs, seeds=seeds):
         print(_json.dumps(stats))
@@ -348,11 +376,8 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Store → training corpus: annotate, gate, dedup, write parquet.
-    Prints one JSON stats line (row count read from the written parquet's
-    footer metadata — no second pass over the data)."""
-    import json as _json
-
+    """Store → training corpus: annotate, gate, dedup, write parquet +
+    one JSON stats line."""
     from scrape_spark.operators.store import UrlStore
     from scrape_spark.plans.export import export_corpus
 
@@ -368,9 +393,7 @@ def cmd_export(args) -> int:
     )
     if args.notext:
         out = out.drop("content_text")
-    out.write.mode("overwrite").parquet(args.out)
-    n = spark.read.parquet(args.out).count()  # footer-metadata count
-    print(_json.dumps({"out": args.out, "rows": n}))
+    _write_parquet_stats(spark, out, args.out)
     return 0
 
 
@@ -546,7 +569,9 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument(
         "--discover-sitemaps", action="store_true", dest="discover_sitemaps",
         help="harvest Sitemap: lines from each new host's discovered "
-        "robots.txt and feed the advertised URLs into the frontier",
+        "robots.txt and feed the advertised URLs into the frontier "
+        "(discovered-robots mode only — incompatible with "
+        "--allow-all/--robots/--robots-txt)",
     )
     cr.add_argument(
         "--sitemaps", default=None, metavar="PARQUET",

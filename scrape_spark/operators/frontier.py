@@ -229,6 +229,17 @@ class Crawl:
             frontier.select(*FRONTIER_SCHEMA.fieldNames()), {"n_seeds": "df"}
         )
 
+    def seeded_frontier_nonempty(self) -> bool:
+        """True when the written epoch-0 frontier holds at least one row —
+        a DataFrame seeding path (seed_df) can legitimately produce zero
+        rows and callers should fail loudly rather than run a 0-page crawl.
+        Parquet-footer metadata read, no Spark job over the data."""
+        path = os.path.join(self._edir(0), "frontier.parquet")
+        return (
+            os.path.isdir(path)
+            and self.spark.read.parquet(path).limit(1).count() > 0
+        )
+
     def _write_seed(self, frontier: DataFrame, marker: dict) -> None:
         edir = self._edir(0)
         frontier.write.mode("overwrite").parquet(os.path.join(edir, "frontier.parquet"))
@@ -567,8 +578,13 @@ class Crawl:
                     "url", F.col("html").cast("binary").alias("html")
                 )
             )
+        # persist the initial parse too: the entries frame feeds three
+        # subtrees inside the expansion (out/visited/pending) and, in live
+        # mode, recomputing it would re-fetch every sitemap over the network
+        base = parse_sitemaps(fetch_fn(sm_urls)).persist()
+        self._epoch_caches.append(base)
         entries = expand_sitemap_entries(
-            parse_sitemaps(fetch_fn(sm_urls)), fetch_fn, max_levels=2
+            base, fetch_fn, max_levels=2, caches=self._epoch_caches
         )
         return (
             seed_frontier_entries(entries)

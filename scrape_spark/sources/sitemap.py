@@ -89,15 +89,24 @@ def sitemap_urls_from_robots(
     )
 
 
+def _decode_blob(b) -> str:
+    """bytes (possibly gzipped) | str | None → text. A truncated/corrupt
+    gzip body yields '' (no entries) instead of failing the whole Spark
+    stage — one bad host must not kill a crawl over millions."""
+    if isinstance(b, str):
+        return b
+    if b is None:
+        return ""
+    if isinstance(b, (bytes, bytearray)) and b[:2] == b"\x1f\x8b":
+        try:
+            b = gzip.decompress(b)
+        except (OSError, EOFError):
+            return ""
+    return bytes(b).decode("utf-8", errors="replace")
+
+
 def _parse_batch(urls: pd.Series, blobs: pd.Series) -> pd.DataFrame:
-    txt = blobs.map(
-        lambda b: (
-            gzip.decompress(b) if isinstance(b, (bytes, bytearray)) and b[:2] == b"\x1f\x8b"
-            else (b if b is not None else b"")
-        ).decode("utf-8", errors="replace")
-        if not isinstance(b, str)
-        else b
-    ).astype(object)
+    txt = blobs.map(_decode_blob).astype(object)
 
     out_frames = []
     for kind, block_re in (
@@ -184,7 +193,9 @@ def corpus_fetcher(pages: DataFrame, url_col: str = "url", html_col: str = "html
     return fetch
 
 
-def expand_sitemap_entries(entries: DataFrame, fetch_fn, max_levels: int = 5) -> DataFrame:
+def expand_sitemap_entries(
+    entries: DataFrame, fetch_fn, max_levels: int = 5, caches: list | None = None
+) -> DataFrame:
     """Recurse through ``<sitemapindex>`` references: ``kind='sitemap'``
     rows are fetched (``fetch_fn(urls_df) -> (url, html)`` — a corpus join
     via :func:`corpus_fetcher` or a live ``fetch_pages``) and parsed again
@@ -192,7 +203,14 @@ def expand_sitemap_entries(entries: DataFrame, fetch_fn, max_levels: int = 5) ->
     existence probe (``limit(1).count()``); entry rows stay distributed.
     Already-visited sitemap URLs are anti-joined out, so reference cycles
     terminate; ``max_levels`` bounds pathological chains (the protocol
-    itself allows only one index level)."""
+    itself allows only one index level).
+
+    Per-level frames are persisted (a live ``fetch_fn`` is non-idempotent
+    network I/O — it must evaluate once) and registered in ``caches`` so
+    the CALLER unpersists them after materializing the result (the crawl
+    passes its epoch-cache list; without a registry the persists are
+    released only at session end)."""
+    registry = caches if caches is not None else []
     out = entries.where(F.col("kind") == "url")
     visited = entries.select(F.col("sitemap_url").alias("u")).distinct()
     pending = (
@@ -202,11 +220,11 @@ def expand_sitemap_entries(entries: DataFrame, fetch_fn, max_levels: int = 5) ->
     )
     for _ in range(max_levels):
         targets = pending.join(visited, "u", "left_anti").persist()
+        registry.append(targets)
         if targets.limit(1).count() == 0:
-            targets.unpersist()
             break
-        # persist: fetch_fn may be a live network fetch — materialize once
         parsed = parse_sitemaps(fetch_fn(targets.select(F.col("u").alias("url")))).persist()
+        registry.append(parsed)
         out = out.unionByName(parsed.where(F.col("kind") == "url"))
         pending = (
             parsed.where(F.col("kind") == "sitemap")

@@ -309,3 +309,29 @@ def test_warc_dump_to_corpus_journey(spark, capsys, tmp_path):
     assert main(["export", "--store", store, "--out", out]) == 0
     exp = json.loads(capsys.readouterr().out)
     assert exp["rows"] >= 1
+
+
+def test_corpus_source_flags_are_exclusive(capsys, tmp_path):
+    """--warc excludes --pages/--live; --discover-sitemaps needs
+    discovered-robots mode; an empty --sitemaps seed fails loudly.
+    All argument-level: exit 2 with a message, no 0-page 'success'."""
+    assert main(["extract", "--pages", "x", "--warc", "y", "u"]) == 2
+    assert "--warc" in capsys.readouterr().err
+    assert main(["extract", "--live", "--warc", "y"]) == 2
+    capsys.readouterr()
+    assert main(["crawl", "--pages", "x", "--state", "s", "--store", "st",
+                 "--allow-all", "--discover-sitemaps", "u"]) == 2
+    assert "--discover-sitemaps" in capsys.readouterr().err
+
+
+def test_crawl_empty_sitemaps_seed_fails_loudly(spark, corpus_path, capsys, tmp_path):
+    sm_pq = str(tmp_path / "sm")
+    spark.createDataFrame(
+        [("https://s.test/sm.xml", bytearray(b"<notasitemap/>"))],
+        "url string, html binary",
+    ).write.mode("overwrite").parquet(sm_pq)
+    rc = main(["crawl", "--pages", corpus_path,
+               "--state", str(tmp_path / "state"), "--store", str(tmp_path / "store"),
+               "--allow-all", "--epochs", "1", "--sitemaps", sm_pq])
+    assert rc == 2
+    assert "no seed URLs" in capsys.readouterr().err

@@ -232,3 +232,18 @@ def test_crawl_discovers_sitemaps_from_robots(spark, tmp_path):
     assert not (set(sm_only) & without)
     # everything else the two crawls fetched is identical
     assert with_sm - set(sm_only) == without
+
+
+def test_corrupt_gzip_sitemap_yields_no_entries(spark):
+    """A truncated gzip body (starts with the magic but is incomplete)
+    parses to zero entries instead of failing the Spark stage — one bad
+    host must not kill a crawl."""
+    truncated = gzip.compress(URLSET)[:20]
+    df = spark.createDataFrame(
+        [("https://sm.test/bad.xml.gz", bytearray(truncated)),
+         ("https://sm.test/ok.xml", URLSET)],
+        "url string, html binary",
+    )
+    rows = parse_sitemaps(df).collect()
+    assert {r.sitemap_url for r in rows} == {"https://sm.test/ok.xml"}
+    assert len(rows) == 3
