@@ -58,14 +58,14 @@ def _request_df(spark, args, default_all=None) -> "DataFrame":  # noqa: F821
     return spark.createDataFrame([(u,) for u in urls], ["url"])
 
 
-def _write_parquet_stats(spark, df, out_path: str) -> None:
+def _write_parquet_stats(spark, df, out_path: str, **extra) -> None:
     """Distributed parquet sink + one JSON stats line on stdout (row count
     read from the written files' footer metadata — no second data pass)."""
     import json as _json
 
     df.write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
-    print(_json.dumps({"out": out_path, "rows": n}))
+    print(_json.dumps({"out": out_path, "rows": n, **extra}))
 
 
 def cmd_extract(args) -> int:
@@ -382,7 +382,12 @@ def cmd_export(args) -> int:
     from scrape_spark.plans.export import export_corpus
 
     spark = _spark(args.cores)
-    rows = UrlStore(spark, args.store).urls.read()
+    urls = UrlStore(spark, args.store).urls
+    # pin the read at one snapshot and report it, so a recurring export can
+    # chain: next run passes --since-snapshot <this run's "snapshot"> and
+    # reads only files added since (ManifestTable.read_since — cost ∝ delta)
+    snap = urls.current_snapshot()
+    rows = urls.read_since(args.since_snapshot, snapshot=snap)
     out = export_corpus(
         rows,
         min_quality=args.min_quality,
@@ -393,7 +398,7 @@ def cmd_export(args) -> int:
     )
     if args.notext:
         out = out.drop("content_text")
-    _write_parquet_stats(spark, out, args.out)
+    _write_parquet_stats(spark, out, args.out, snapshot=snap)
     return 0
 
 
@@ -510,6 +515,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--threshold", type=float, default=0.7,
                     help="jaccard threshold for --neardup minhash")
     ex.add_argument("--notext", action="store_true", help="omit content_text")
+    ex.add_argument(
+        "--since-snapshot", type=int, default=None, dest="since_snapshot",
+        metavar="N",
+        help="incremental: export only rows whose newest version arrived "
+        "after store snapshot N (chain from the previous run's 'snapshot' "
+        "stats field); unknown history falls back to a full export",
+    )
     ex.set_defaults(fn=cmd_export)
 
     ma = sub.add_parser("maintain", help="expire + compact a store")

@@ -335,3 +335,26 @@ def test_crawl_empty_sitemaps_seed_fails_loudly(spark, corpus_path, capsys, tmp_
                "--allow-all", "--epochs", "1", "--sitemaps", sm_pq])
     assert rc == 2
     assert "no seed URLs" in capsys.readouterr().err
+
+
+def test_export_incremental_since_snapshot(spark, corpus_path, capsys, tmp_path):
+    """`export --since-snapshot`: the second export sees only pages stored
+    after the first run's reported snapshot."""
+    store = str(tmp_path / "store")
+    assert main(["extract", "--pages", corpus_path, "--store", store,
+                 page_url(0, 0), page_url(0, 1)]) == 0
+    capsys.readouterr()
+    out1 = str(tmp_path / "c1")
+    assert main(["export", "--store", store, "--out", out1, "--notext"]) == 0
+    s1 = json.loads(capsys.readouterr().out)
+    assert s1["rows"] == 2 and isinstance(s1["snapshot"], int)
+
+    assert main(["extract", "--pages", corpus_path, "--store", store,
+                 page_url(1, 0)]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "c2")
+    assert main(["export", "--store", store, "--out", out2, "--notext",
+                 "--since-snapshot", str(s1["snapshot"])]) == 0
+    s2 = json.loads(capsys.readouterr().out)
+    assert s2["rows"] == 1
+    assert {r.parsed_url for r in spark.read.parquet(out2).collect()} == {page_url(1, 0)}

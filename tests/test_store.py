@@ -567,3 +567,37 @@ def test_maintain_with_expire_keep(spark, store):
     assert len(store.urls.snapshots()) == 1
     assert len(store.id_map.snapshots()) == 1
     assert store.urls.read().count() == 2
+
+
+def test_read_since_returns_only_delta_rows(spark, store):
+    """Incremental read: keys merged/updated after the pinned snapshot, at
+    their latest payload; untouched keys absent; cost is a scan of only the
+    files added since (asserted on the plan's input file list)."""
+    _merge(spark, store, [_result_row("https://example.com/s1", title="v1")])
+    _merge(spark, store, [_result_row("https://example.com/s2")])
+    pin = store.urls.current_snapshot()
+    pin_files = {
+        e["path"] for fl in store.urls._load_manifest(pin)["files"].values()
+        for e in fl
+    }
+    _merge(spark, store, [
+        _result_row("https://example.com/s3"),
+        _result_row("https://example.com/s1", title="v2"),  # update
+    ])
+    got = {r.parsed_url: r for r in store.urls.read_since(pin).collect()}
+    assert set(got) == {"https://example.com/s1", "https://example.com/s3"}
+    assert got["https://example.com/s1"].title == "v2"
+    # the plan reads no file the pinned snapshot already referenced
+    plan = store.urls.read_since(pin)._jdf.queryExecution().executedPlan().toString()
+    assert not any(p.split("/")[-1] in plan for p in pin_files)
+
+
+def test_read_since_none_and_broken_history_fall_back_to_full(spark, store):
+    _merge(spark, store, [_result_row("https://example.com/f1")])
+    pin = store.urls.current_snapshot()
+    _merge(spark, store, [_result_row("https://example.com/f2")])
+    # older=None ⇒ full read
+    assert store.urls.read_since(None).count() == 2
+    # expired history breaks the parent walk ⇒ full read, never wrong
+    store.urls.expire_snapshots(keep_last=1)
+    assert store.urls.read_since(pin).count() == 2
