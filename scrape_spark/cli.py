@@ -376,29 +376,49 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Store → training corpus: annotate, gate, dedup, write parquet +
-    one JSON stats line."""
-    from scrape_spark.operators.store import UrlStore
+    """Store (or raw documents parquet) → training corpus: annotate, gate,
+    dedup, write parquet + one JSON stats line."""
     from scrape_spark.plans.export import export_corpus
 
+    if bool(args.store) == bool(args.docs):
+        print("export needs exactly one of --store / --docs", file=sys.stderr)
+        return 2
+    if args.docs and args.since_snapshot is not None:
+        print("--since-snapshot applies only to --store exports", file=sys.stderr)
+        return 2
     spark = _spark(args.cores)
-    urls = UrlStore(spark, args.store).urls
-    # pin the read at one snapshot and report it, so a recurring export can
-    # chain: next run passes --since-snapshot <this run's "snapshot"> and
-    # reads only files added since (ManifestTable.read_since — cost ∝ delta)
-    snap = urls.current_snapshot()
-    rows = urls.read_since(args.since_snapshot, snapshot=snap)
+    stats: dict = {}
+    if args.store:
+        from scrape_spark.operators.store import UrlStore
+
+        urls = UrlStore(spark, args.store).urls
+        # pin the read at one snapshot and report it, so a recurring export
+        # can chain: next run passes --since-snapshot <this run's
+        # "snapshot"> and reads only files added since
+        # (ManifestTable.read_since — cost ∝ delta)
+        snap = urls.current_snapshot()
+        rows = urls.read_since(args.since_snapshot, snapshot=snap)
+        id_col, text_col = "key", "content_text"
+        keep = ["parsed_url", "title"]
+        stats["snapshot"] = snap
+    else:
+        # raw corpus mode: any parquet with (id, text)-shaped columns
+        rows = spark.read.parquet(args.docs)
+        id_col, text_col = args.id_col, args.text_col
+        keep = [c for c in rows.columns if c not in (id_col, text_col)]
     out = export_corpus(
         rows,
+        id_col=id_col,
+        text_col=text_col,
         min_quality=args.min_quality,
         langs=args.lang or None,
         neardup=args.neardup or None,
         threshold=args.threshold,
-        keep_cols=["parsed_url", "title"],
+        keep_cols=keep,
     )
     if args.notext:
-        out = out.drop("content_text")
-    _write_parquet_stats(spark, out, args.out, snapshot=snap)
+        out = out.drop(text_col)
+    _write_parquet_stats(spark, out, args.out, **stats)
     return 0
 
 
@@ -501,7 +521,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser(
         "export", help="store → deduplicated, quality-gated training corpus"
     )
-    ex.add_argument("--store", required=True)
+    ex.add_argument("--store", default=None, help="url store dir (the crawl output)")
+    ex.add_argument("--docs", default=None, metavar="PARQUET",
+                    help="raw documents parquet instead of a store")
+    ex.add_argument("--id-col", default="doc_id", dest="id_col",
+                    help="id column for --docs (default doc_id)")
+    ex.add_argument("--text-col", default="text", dest="text_col",
+                    help="text column for --docs (default text)")
     ex.add_argument("--out", required=True, help="output parquet dir")
     ex.add_argument("--min-quality", type=float, default=None, dest="min_quality")
     ex.add_argument(

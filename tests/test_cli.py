@@ -358,3 +358,22 @@ def test_export_incremental_since_snapshot(spark, corpus_path, capsys, tmp_path)
     s2 = json.loads(capsys.readouterr().out)
     assert s2["rows"] == 1
     assert {r.parsed_url for r in spark.read.parquet(out2).collect()} == {page_url(1, 0)}
+
+
+def test_export_docs_mode(spark, capsys, tmp_path):
+    """`export --docs`: raw (id, text) parquet through the same plan —
+    the sf testdata documents shape works directly."""
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        50
+    ).write.parquet(docs)
+    out = str(tmp_path / "corpus")
+    assert main(["export", "--docs", docs, "--out", out, "--notext"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert 0 < stats["rows"] <= 50 and "snapshot" not in stats
+    got = spark.read.parquet(out)
+    assert {"doc_id", "lang", "quality", "n_tokens"} <= set(got.columns)
+    assert "text" not in got.columns
+    # exactly one of --store/--docs
+    assert main(["export", "--out", out]) == 2
+    assert main(["export", "--docs", docs, "--store", "s", "--out", out]) == 2
