@@ -422,6 +422,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Streaming ingest (§2.8): drain newline-JSON request files
+    ({"url": ...}) from --requests through the SAME batch pipeline into the
+    store + an output parquet dir, exactly-once over input files via the
+    Structured Streaming checkpoint. Each invocation is one drain
+    (trigger(availableNow)) — re-running picks up only files that arrived
+    since, which is the streaming analog of a crawl epoch."""
+    import json as _json
+
+    from scrape_spark.operators.store import UrlStore
+    from scrape_spark.streaming.micro_batch import run_stream_extract
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(args.pages)
+    store = UrlStore(spark, args.store)
+    run_stream_extract(
+        spark,
+        args.requests,
+        pages,
+        store,
+        checkpoint_dir=args.checkpoint,
+        output_dir=args.out,
+    )
+    n = spark.read.parquet(args.out).count()
+    print(_json.dumps({"out": args.out, "rows_total": n}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     from scrape_spark.operators.store import UrlStore
 
@@ -549,6 +577,18 @@ def build_parser() -> argparse.ArgumentParser:
         "stats field); unknown history falls back to a full export",
     )
     ex.set_defaults(fn=cmd_export)
+
+    wa = sub.add_parser(
+        "watch", help="streaming: drain request files through the pipeline"
+    )
+    wa.add_argument("--pages", required=True, help="pages corpus parquet")
+    wa.add_argument("--store", required=True, help="url store dir")
+    wa.add_argument("--requests", required=True,
+                    help="dir of newline-JSON request files ({\"url\": ...})")
+    wa.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (exactly-once over files)")
+    wa.add_argument("--out", required=True, help="micro-batch results parquet dir")
+    wa.set_defaults(fn=cmd_watch)
 
     ma = sub.add_parser("maintain", help="expire + compact a store")
     ma.add_argument("--store", required=True)

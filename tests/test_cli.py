@@ -377,3 +377,27 @@ def test_export_docs_mode(spark, capsys, tmp_path):
     # exactly one of --store/--docs
     assert main(["export", "--out", out]) == 2
     assert main(["export", "--docs", docs, "--store", "s", "--out", out]) == 2
+
+
+def test_watch_subcommand_streams_exactly_once(spark, corpus_path, capsys, tmp_path):
+    """`watch`: drains pending request files through the pipeline
+    (store-memoized), and a second drain after a new file arrives
+    processes ONLY that file (checkpointed exactly-once)."""
+    req = tmp_path / "req"
+    req.mkdir()
+    (req / "r1.json").write_text(
+        "\n".join(json.dumps({"url": page_url(0, i)}) for i in range(2))
+    )
+    argv = ["watch", "--pages", corpus_path,
+            "--store", str(tmp_path / "store"),
+            "--requests", str(req),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--out", str(tmp_path / "out")]
+    assert main(argv) == 0
+    assert json.loads(capsys.readouterr().out)["rows_total"] == 2
+    # second drain with one new file: only its row is appended
+    (req / "r2.json").write_text(json.dumps({"url": page_url(1, 0)}))
+    assert main(argv) == 0
+    assert json.loads(capsys.readouterr().out)["rows_total"] == 3
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.filter(got.original_url == page_url(0, 0)).count() == 1  # not reprocessed
