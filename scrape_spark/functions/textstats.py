@@ -29,8 +29,13 @@ def word_set(col: str | Column) -> Column:
 
 
 def token_count_ws(col: str | Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(col))
+    """Whitespace token count. ``regexp_count`` of non-space runs, not
+    ``size(words(...))``: the two are equal for every string (a maximal
+    \\S+ run IS a non-empty split token — pinned by a property test), but
+    the lambda in ``words`` is a higher-order function that falls out of
+    whole-stage codegen, and this count sits in the export annotation's
+    per-row hot path."""
+    return F.regexp_count(_c(col), F.lit(r"\S+"))
 
 
 def token_count_bpe(col: str | Column) -> Column:

@@ -59,3 +59,39 @@ def test_annotate_is_pure_projection(spark):
     df = _df(spark, [(1, GOOD, 200)])
     plan = annotate(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_count_ws_equals_word_split(spark):
+    """regexp_count('\\S+') must equal size(filter(split(trim)))) for every
+    string — the codegen-friendly rewrite may not drift from the oracle's
+    split semantics (adversarial cases: empty, spaces-only, leading/
+    trailing/mixed whitespace, tabs/newlines, unicode, null)."""
+    from pyspark.sql import functions as F
+
+    from scrape_spark.functions.textstats import token_count_ws, words
+
+    cases = ["", " ", "   ", "a", " a ", "a b", "a  b", "\ta\nb\r c ",
+             "éé ü 中文 字", "ab", ".,;", "a " * 100, None]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    rows = df.select(
+        "t",
+        token_count_ws("t").alias("fast"),
+        F.size(words("t")).alias("ref"),
+    ).collect()
+    for r in rows:
+        if r.t is None:
+            assert r.fast is None or r.fast == -1  # matches size(null) behavior
+        else:
+            assert r.fast == r.ref, r.t
+
+
+def test_annotate_stays_in_whole_stage_codegen(spark):
+    """The annotation projection (the export hot path) must sit inside a
+    WholeStageCodegen span — the reason token_count_ws avoids higher-order
+    functions."""
+    from scrape_spark.plans.export import annotate
+
+    df = spark.createDataFrame([(1, "the quick brown fox", 200)],
+                               "key long, content_text string, status_code int")
+    plan = annotate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan
