@@ -400,11 +400,22 @@ def cmd_export(args) -> int:
         rows = urls.read_since(args.since_snapshot, snapshot=snap)
         id_col, text_col = "key", "content_text"
         keep = ["parsed_url", "title"]
-        stats["snapshot"] = snap
+        if snap is not None:
+            # an empty store has no snapshot to chain from — omit the field
+            # rather than emit null, which --since-snapshot (int) can't take
+            stats["snapshot"] = snap
     else:
         # raw corpus mode: any parquet with (id, text)-shaped columns
         rows = spark.read.parquet(args.docs)
         id_col, text_col = args.id_col, args.text_col
+        missing = [c for c in (id_col, text_col) if c not in rows.columns]
+        if missing:
+            print(
+                f"export --docs: column(s) {missing} not in {args.docs} "
+                f"(have: {rows.columns}); set --id-col/--text-col",
+                file=sys.stderr,
+            )
+            return 2
         keep = [c for c in rows.columns if c not in (id_col, text_col)]
     out = export_corpus(
         rows,
@@ -445,7 +456,11 @@ def cmd_watch(args) -> int:
         checkpoint_dir=args.checkpoint,
         output_dir=args.out,
     )
-    n = spark.read.parquet(args.out).count()
+    import os as _os
+
+    # nothing pending on this drain and nothing drained before → no output
+    # dir exists yet; that's a clean zero, not an error
+    n = spark.read.parquet(args.out).count() if _os.path.isdir(args.out) else 0
     print(_json.dumps({"out": args.out, "rows_total": n}))
     return 0
 

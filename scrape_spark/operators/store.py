@@ -262,11 +262,22 @@ class ManifestTable:
                 needs_resolve = True
             for e in fl:
                 by_seq.setdefault(e["seq"], []).append(e["path"])
+        if not resolve:
+            # raw row versions: plain union of all files, no resolution
+            if not by_seq:
+                return self.spark.createDataFrame([], self.schema)
+            files = [p for fl in by_seq.values() for p in fl]
+            return self.spark.read.schema(self.schema).parquet(*files)
+        return self._scan_filesets(by_seq, needs_resolve)
+
+    def _scan_filesets(self, by_seq: dict[int, list[str]], needs_resolve: bool) -> DataFrame:
+        """Scan a seq→paths file selection: plain pruned parquet scan when no
+        selected bucket spans generations (full filter pushdown), else the
+        per-seq union + (order_col, seq) resolution. Shared by read() and
+        read_since()."""
         if not by_seq:
             return self.spark.createDataFrame([], self.schema)
-        if not (resolve and needs_resolve):
-            # fast path: every requested bucket is single-generation (or the
-            # caller wants raw row versions) — plain pruned parquet scan
+        if not needs_resolve:
             files = [p for fl in by_seq.values() for p in fl]
             return self.spark.read.schema(self.schema).parquet(*files)
         gens = [
@@ -278,32 +289,44 @@ class ManifestTable:
         df = gens[0]
         for g in gens[1:]:
             df = df.unionByName(g)
-        if not resolve:
-            return df.drop("__seq")
         return self._resolve(df)
 
     def read_since(
-        self, older: int | None, snapshot: int | None = None
+        self,
+        older: int | None,
+        snapshot: int | None = None,
+        assume_monotonic: bool = False,
     ) -> DataFrame:
         """Incremental read: the resolved latest version of every key whose
         newest row arrived in a commit AFTER snapshot ``older`` (exclusive),
-        up to ``snapshot`` (default current). Cost ∝ files ADDED since
-        ``older`` — a recurring consumer (e.g. `export --since-snapshot`)
-        never rescans the whole store.
+        up to ``snapshot`` (default: the current snapshot, pinned ONCE —
+        every manifest access below uses that pin, so a concurrent commit
+        cannot widen the window past the validated chain).
 
-        Correctness rests on the merge-on-read invariant the resolver
-        already uses: a key's newest generation wins, so any key touched
-        since ``older`` has its latest payload entirely within the new
-        files. Keys untouched since ``older`` do not appear. A compaction
-        in the window rewrites rows into new files, so they (correctly,
-        if unhelpfully) reappear; a broken/unknown parent chain (expired
+        Default path: scan the files added since ``older`` for the touched
+        KEYS, then resolve those keys against the full (order_col, seq)
+        view of just the touched BUCKETS — cost ∝ touched buckets + delta
+        keys, never O(store buckets). This is exactly ``read()``'s answer
+        restricted to touched keys, even when a post-snapshot commit
+        carries an OLDER order_col than an existing row (a backfill): the
+        superseded payload loses, same as a full read.
+
+        ``assume_monotonic=True`` skips the bucket resolution and returns
+        the delta files' own resolution — cost ∝ files added only. Sound
+        iff the writer never commits a row whose order_col is older than
+        an existing row for the same key (true for the crawl/extract
+        pipeline, whose order_col is the merge-time fetch_time).
+
+        Keys untouched since ``older`` do not appear. A compaction in the
+        window rewrites rows into new files, so they (correctly, if
+        unhelpfully) reappear; a broken/unknown parent chain (expired
         history, foreign writer) falls back to the FULL resolved read —
         conservative, never wrong."""
         if older is None:
             return self.read(snapshot=snapshot)
         cur = self.current_snapshot() if snapshot is None else snapshot
         if self.commit_metas_between(cur, older) is None:
-            return self.read(snapshot=snapshot)
+            return self.read(snapshot=cur)
         try:
             old_paths = {
                 e["path"]
@@ -311,33 +334,27 @@ class ManifestTable:
                 for e in fl
             }
         except (OSError, ValueError):
-            return self.read(snapshot=snapshot)
-        man = self._load_manifest(snapshot)
+            return self.read(snapshot=cur)
+        man = self._load_manifest(cur)
         by_seq: dict[int, list[str]] = {}
         needs_resolve = False
-        for fl in man["files"].values():
+        touched: list[int] = []
+        for b, fl in man["files"].items():
             new = [e for e in fl if e["path"] not in old_paths]
+            if not new:
+                continue
+            touched.append(int(b))
             if len({e["seq"] for e in new}) > 1:
                 needs_resolve = True
             for e in new:
                 by_seq.setdefault(e["seq"], []).append(e["path"])
-        if not by_seq:
-            return self.spark.createDataFrame([], self.schema)
-        if not needs_resolve:
-            # common case: each bucket gained files from one commit — plain
-            # pruned scan, full filter pushdown (same fast path as read())
-            files = [p for fl in by_seq.values() for p in fl]
-            return self.spark.read.schema(self.schema).parquet(*files)
-        gens = [
-            self.spark.read.schema(self.schema)
-            .parquet(*paths)
-            .withColumn("__seq", F.lit(seq))
-            for seq, paths in sorted(by_seq.items())
-        ]
-        df = gens[0]
-        for g in gens[1:]:
-            df = df.unionByName(g)
-        return self._resolve(df)
+        delta = self._scan_filesets(by_seq, needs_resolve)
+        if assume_monotonic or not by_seq:
+            return delta
+        delta_keys = delta.select(self.key_col).distinct()
+        return self.read(snapshot=cur, buckets=touched).join(
+            delta_keys, self.key_col, "left_semi"
+        )
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         """Last-write-wins over (order_col, __seq): hash aggregate, map-side

@@ -44,7 +44,12 @@ def run_stream_extract(
         if batch_df.isEmpty():
             return
         results = batch_extract(spark, batch_df, pages, store)
-        results.write.mode("append").parquet(output_dir)
+        # per-batch OVERWRITE into a batch=<id> partition dir: a batch
+        # replayed after a crash between this write and the checkpoint
+        # commit lands in the same dir — idempotent, so the output sink is
+        # exactly-once like the checkpointed input (a bare append would
+        # double rows on replay). The store merge is LWW-idempotent anyway.
+        results.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     q = (
         stream_requests(spark, request_dir)

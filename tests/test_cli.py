@@ -401,3 +401,25 @@ def test_watch_subcommand_streams_exactly_once(spark, corpus_path, capsys, tmp_p
     assert json.loads(capsys.readouterr().out)["rows_total"] == 3
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.filter(got.original_url == page_url(0, 0)).count() == 1  # not reprocessed
+
+
+def test_watch_empty_drain_reports_zero(spark, corpus_path, capsys, tmp_path):
+    """A drain with no pending request files exits 0 and reports
+    rows_total 0 (the recurring/cron case must not traceback on a missing
+    output dir)."""
+    req = tmp_path / "req"
+    req.mkdir()
+    assert main(["watch", "--pages", corpus_path,
+                 "--store", str(tmp_path / "store"),
+                 "--requests", str(req),
+                 "--checkpoint", str(tmp_path / "ckpt"),
+                 "--out", str(tmp_path / "out")]) == 0
+    assert json.loads(capsys.readouterr().out)["rows_total"] == 0
+
+
+def test_export_docs_bad_column_exits_cleanly(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "x")], "id long, body string").write.parquet(docs)
+    assert main(["export", "--docs", docs, "--out", str(tmp_path / "o")]) == 2
+    err = capsys.readouterr().err
+    assert "doc_id" in err and "--id-col" in err

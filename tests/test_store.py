@@ -571,8 +571,10 @@ def test_maintain_with_expire_keep(spark, store):
 
 def test_read_since_returns_only_delta_rows(spark, store):
     """Incremental read: keys merged/updated after the pinned snapshot, at
-    their latest payload; untouched keys absent; cost is a scan of only the
-    files added since (asserted on the plan's input file list)."""
+    their latest payload; untouched keys absent. Cost assertions: the
+    monotonic fast path reads no pinned file at all; the default (backfill-
+    safe) path reads only TOUCHED buckets (files of untouched buckets stay
+    out of the plan)."""
     _merge(spark, store, [_result_row("https://example.com/s1", title="v1")])
     _merge(spark, store, [_result_row("https://example.com/s2")])
     pin = store.urls.current_snapshot()
@@ -584,12 +586,51 @@ def test_read_since_returns_only_delta_rows(spark, store):
         _result_row("https://example.com/s3"),
         _result_row("https://example.com/s1", title="v2"),  # update
     ])
-    got = {r.parsed_url: r for r in store.urls.read_since(pin).collect()}
-    assert set(got) == {"https://example.com/s1", "https://example.com/s3"}
-    assert got["https://example.com/s1"].title == "v2"
-    # the plan reads no file the pinned snapshot already referenced
-    plan = store.urls.read_since(pin)._jdf.queryExecution().executedPlan().toString()
+    for kwargs in ({}, {"assume_monotonic": True}):
+        got = {r.parsed_url: r
+               for r in store.urls.read_since(pin, **kwargs).collect()}
+        assert set(got) == {"https://example.com/s1", "https://example.com/s3"}
+        assert got["https://example.com/s1"].title == "v2"
+    # monotonic fast path: no pinned file in the plan
+    fast = store.urls.read_since(pin, assume_monotonic=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
     assert not any(p.split("/")[-1] in plan for p in pin_files)
+    # default path: bucket-pruned — pinned files of UNtouched buckets absent
+    man_new = store.urls._load_manifest()
+    touched = {
+        b for b, fl in man_new["files"].items()
+        if any(e["path"] not in pin_files for e in fl)
+    }
+    untouched_files = {
+        e["path"]
+        for b, fl in man_new["files"].items() if b not in touched
+        for e in fl
+    }
+    assert untouched_files, "fixture should leave at least one untouched bucket"
+    dplan = store.urls.read_since(pin)._jdf.queryExecution().executedPlan().toString()
+    assert not any(p.split("/")[-1] in dplan for p in untouched_files)
+
+
+def test_read_since_resolves_backfilled_older_rows(spark, store):
+    """A post-snapshot commit that carries an OLDER order_col than the
+    stored row (a backfill / second writer) must NOT be exported as the
+    latest version: the default path returns read()'s resolved answer for
+    the touched key."""
+    t_new = dt.datetime(2026, 6, 1)
+    t_old = dt.datetime(2026, 1, 1)
+    _merge(spark, store, [_result_row("https://example.com/bf", title="newer",
+                                      fetch_time=t_new)])
+    pin = store.urls.current_snapshot()
+    _merge(spark, store, [_result_row("https://example.com/bf", title="backfill",
+                                      fetch_time=t_old)])
+    got = {r.parsed_url: r for r in store.urls.read_since(pin).collect()}
+    assert got["https://example.com/bf"].title == "newer"  # matches read()
+    full = {r.parsed_url: r for r in store.urls.read().collect()}
+    assert full["https://example.com/bf"].title == "newer"
+    # the documented monotonic shortcut knowingly returns the delta's view
+    mono = {r.parsed_url: r
+            for r in store.urls.read_since(pin, assume_monotonic=True).collect()}
+    assert mono["https://example.com/bf"].title == "backfill"
 
 
 def test_read_since_none_and_broken_history_fall_back_to_full(spark, store):
