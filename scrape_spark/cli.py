@@ -58,12 +58,16 @@ def _request_df(spark, args, default_all=None) -> "DataFrame":  # noqa: F821
     return spark.createDataFrame([(u,) for u in urls], ["url"])
 
 
-def _write_parquet_stats(spark, df, out_path: str, **extra) -> None:
+def _write_parquet_stats(spark, df, out_path: str, partition_by=None, **extra) -> None:
     """Distributed parquet sink + one JSON stats line on stdout (row count
     read from the written files' footer metadata — no second data pass)."""
     import json as _json
 
-    df.write.mode("overwrite").parquet(out_path)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+        extra = {"partition_by": list(partition_by), **extra}
+    w.parquet(out_path)
     n = spark.read.parquet(out_path).count()
     print(_json.dumps({"out": out_path, "rows": n, **extra}))
 
@@ -429,7 +433,15 @@ def cmd_export(args) -> int:
     )
     if args.notext:
         out = out.drop(text_col)
-    _write_parquet_stats(spark, out, args.out, **stats)
+    if args.partition_by:
+        bad = [c for c in args.partition_by if c not in out.columns]
+        if bad:
+            print(f"export: --partition-by column(s) {bad} not in output "
+                  f"(have: {out.columns})", file=sys.stderr)
+            return 2
+    _write_parquet_stats(
+        spark, out, args.out, partition_by=args.partition_by or None, **stats
+    )
     return 0
 
 
@@ -584,6 +596,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--threshold", type=float, default=0.7,
                     help="jaccard threshold for --neardup minhash")
     ex.add_argument("--notext", action="store_true", help="omit content_text")
+    ex.add_argument(
+        "--partition-by", action="append", default=[], dest="partition_by",
+        metavar="COL",
+        help="hive-partition the output by this column (repeatable; e.g. "
+        "--partition-by lang lets a trainer read one language without "
+        "scanning the corpus)",
+    )
     ex.add_argument(
         "--since-snapshot", type=int, default=None, dest="since_snapshot",
         metavar="N",

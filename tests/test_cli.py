@@ -423,3 +423,21 @@ def test_export_docs_bad_column_exits_cleanly(spark, capsys, tmp_path):
     assert main(["export", "--docs", docs, "--out", str(tmp_path / "o")]) == 2
     err = capsys.readouterr().err
     assert "doc_id" in err and "--id-col" in err
+
+
+def test_export_partition_by_lang(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        80
+    ).write.parquet(docs)
+    out = str(tmp_path / "corpus")
+    assert main(["export", "--docs", docs, "--out", out, "--notext",
+                 "--partition-by", "lang"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["partition_by"] == ["lang"] and stats["rows"] > 0
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(parts) >= 2  # hive layout, one dir per detected language
+    assert main(["export", "--docs", docs, "--out", out,
+                 "--partition-by", "nope"]) == 2
