@@ -258,6 +258,13 @@ def cmd_crawl(args) -> int:
     from scrape_spark.operators.store import UrlStore
     from scrape_spark.schemas import ROBOTS_SCHEMA
 
+    if args.robots_ttl_epochs and (args.allow_all or args.robots or args.robots_txt):
+        print(
+            "--robots-ttl-epochs needs discovered-robots mode "
+            "(drop --allow-all/--robots/--robots-txt)",
+            file=sys.stderr,
+        )
+        return 2
     if args.discover_sitemaps and (args.allow_all or args.robots or args.robots_txt):
         # the harvest reads Sitemap: lines out of the robots.txt the crawl
         # itself discovers — with a pre-supplied rules table (or robots
@@ -315,6 +322,7 @@ def cmd_crawl(args) -> int:
             user_agent=args.user_agent,
             expire_snapshots=not args.keep_snapshots,
             discover_sitemaps=args.discover_sitemaps,
+            robots_ttl_epochs=args.robots_ttl_epochs,
         ),
         live=live,
     )
@@ -677,6 +685,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-snapshots", action="store_true",
         help="keep full store snapshot history (default: expire snapshots "
         "older than the resume/filter pins after each epoch)",
+    )
+    cr.add_argument(
+        "--robots-ttl-epochs", type=int, default=None, dest="robots_ttl_epochs",
+        metavar="N",
+        help="discovered robots.txt rules expire after N epochs and the "
+        "host is refetched next time it appears in the frontier (RFC 9309 "
+        "bounded caching; default: fetch once per host)",
     )
     cr.add_argument(
         "--discover-sitemaps", action="store_true", dest="discover_sitemaps",

@@ -122,6 +122,10 @@ class CrawlConfig:
     # product token for RFC 9309 user-agent group selection when the crawl
     # discovers robots.txt from the corpus itself (robots=None)
     user_agent: str = "scrape-spark"
+    # in discovered-robots mode: rules older than this many epochs expire
+    # and the host is refetched next time it appears in the frontier
+    # (RFC 9309 permits bounded caching). None = fetch once per host.
+    robots_ttl_epochs: int | None = None
     # in discovered-robots mode, also harvest `Sitemap:` lines from each NEW
     # host's robots.txt, fetch+parse the advertised sitemaps (urlset + one
     # index level) and feed their page URLs into the next frontier at
@@ -445,14 +449,34 @@ class Crawl:
         alone are stale by exactly one epoch's delta — epoch 0 has no state
         file at all, which used to read as 0 bytes ⇒ broadcast
         unconditionally on the largest discovery epoch). A host with no
-        robots.txt page gets an allow-all row once and is never refetched."""
+        robots.txt page gets an allow-all row once and (TTL aside) is never
+        refetched.
+
+        ``cfg.robots_ttl_epochs`` (RFC 9309 §2.4 allows caching, commonly
+        bounded to ~24h): when set, rules older than that many epochs are
+        dropped from the live state, so a host whose rules expired counts
+        as missing again THE NEXT TIME it appears in the frontier — refetch
+        cost ∝ expired-and-active hosts, still never O(corpus). Expired
+        hosts absent from the frontier simply leave the state. Rows from a
+        pre-TTL checkpoint have a NULL robots_epoch and refetch once."""
         from scrape_spark.sources.robots import ROBOTS_RULES_SCHEMA, parse_robots
 
+        state_schema = T.StructType(
+            list(ROBOTS_RULES_SCHEMA.fields)
+            + [T.StructField("robots_epoch", T.IntegerType(), True)]
+        )
         path = os.path.join(self._edir(epoch), "robots_state.parquet")
         if os.path.exists(path):
-            state = self.spark.read.schema(ROBOTS_RULES_SCHEMA).parquet(path)
+            state = self.spark.read.schema(state_schema).parquet(path)
         else:
-            state = self.spark.createDataFrame([], ROBOTS_RULES_SCHEMA)
+            state = self.spark.createDataFrame([], state_schema)
+        ttl = self.cfg.robots_ttl_epochs
+        if ttl:
+            state = state.filter(
+                F.coalesce(F.col("robots_epoch"), F.lit(-(1 << 30)))
+                > F.lit(epoch - ttl)
+            )
+        stamp = F.lit(epoch).cast("int")
         # robots.txt lives at the scheme+authority the site is actually
         # crawled under (RFC 9309 §2.3) — derive the scheme from the
         # frontier's own URLs per host (deterministic min: "http" < "https",
@@ -504,7 +528,7 @@ class Crawl:
             parsed = parse_robots(
                 fetched, user_agent=self.cfg.user_agent,
                 host_col="host", txt_col="robots_txt",
-            )
+            ).withColumn("robots_epoch", stamp)
             return state.unionByName(parsed)
         html_t = {f.name: f.dataType for f in self.pages.schema.fields}["html"]
         body = (
@@ -536,7 +560,7 @@ class Crawl:
         self._robots_raw_delta = fetched  # `found` is cached; `absent` derives from it
         parsed = parse_robots(
             fetched, user_agent=self.cfg.user_agent, host_col="host", txt_col="robots_txt"
-        )
+        ).withColumn("robots_epoch", stamp)
         return state.unionByName(parsed)
 
     def _sitemap_links_for_epoch(self, epoch: int) -> DataFrame | None:

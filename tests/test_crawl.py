@@ -786,3 +786,48 @@ def test_snapshot_expiration_bounds_history_and_resumes(
         ]
     assert len(crawl2.store.urls.snapshots()) <= 4
     shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_robots_ttl_expires_and_refetches(spark, tmp_path_factory, pages):
+    """cfg.robots_ttl_epochs: discovered rules expire and active hosts are
+    refetched (state rows carry the refetch epoch); crawl behavior over a
+    static corpus is identical to the fetch-once default, and rules stay
+    enforced after a refetch (private paths still denied)."""
+    from scrape_spark.sources.pages import robots_txt_pages
+
+    corpus = pages.unionByName(robots_txt_pages(spark, N_HOSTS))
+
+    def run(sub, ttl):
+        tmpdir = str(tmp_path_factory.mktemp(f"robots_ttl_{sub}"))
+        crawl = Crawl(
+            spark, f"{tmpdir}/state",
+            UrlStore(spark, f"{tmpdir}/store", n_buckets=8),
+            corpus, None,
+            CrawlConfig(epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+                        shuffle_partitions=4, robots_ttl_epochs=ttl),
+        )
+        crawl.run(3, seeds=seed_urls(N_HOSTS))
+        states = []
+        for k in range(1, 4):
+            states.append({
+                r.host: r.robots_epoch
+                for r in spark.read.parquet(
+                    f"{crawl.state_dir}/epochs/e{k:05d}/robots_state.parquet"
+                ).select("host", "robots_epoch").collect()
+            })
+        keys = {r.key for r in crawl.store.urls.read().collect()}
+        denied = {r.parsed_url for r in crawl.store.urls.read().collect()
+                  if "/private/" in r.parsed_url}
+        return states, keys, denied
+
+    s_ttl, k_ttl, d_ttl = run("on", 1)
+    s_off, k_off, d_off = run("off", None)
+    # fetch-once: every state row keeps its first-fetch epoch stamp
+    assert set(s_off[-1].values()) == {0}
+    # ttl=1: hosts active in epoch k are re-stamped at k (state after epoch
+    # 2 holds no epoch-0 stamps for hosts the frontier still visits)
+    assert any(v > 0 for v in s_ttl[-1].values())
+    assert all(v is not None for v in s_ttl[-1].values())
+    # identical crawl over a static corpus; robots stay enforced
+    assert k_ttl == k_off
+    assert d_ttl == set() and d_off == set()
