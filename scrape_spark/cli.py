@@ -68,7 +68,9 @@ def _write_parquet_stats(spark, df, out_path: str, partition_by=None, **extra) -
         w = w.partitionBy(*partition_by)
         extra = {"partition_by": list(partition_by), **extra}
     w.parquet(out_path)
-    n = spark.read.parquet(out_path).count()
+    # schema given explicitly: an all-rows-filtered partitioned write emits
+    # only _SUCCESS, and a schema-less read of it cannot infer and throws
+    n = spark.read.schema(df.schema).parquet(out_path).count()
     print(_json.dumps({"out": out_path, "rows": n, **extra}))
 
 
@@ -258,13 +260,19 @@ def cmd_crawl(args) -> int:
     from scrape_spark.operators.store import UrlStore
     from scrape_spark.schemas import ROBOTS_SCHEMA
 
-    if args.robots_ttl_epochs and (args.allow_all or args.robots or args.robots_txt):
-        print(
-            "--robots-ttl-epochs needs discovered-robots mode "
-            "(drop --allow-all/--robots/--robots-txt)",
-            file=sys.stderr,
-        )
-        return 2
+    if args.robots_ttl_epochs is not None:
+        if args.robots_ttl_epochs < 1:
+            # ttl=1 already means refetch-every-epoch; 0/negative would be
+            # silently-disabled or expire-everything footguns
+            print("--robots-ttl-epochs must be >= 1", file=sys.stderr)
+            return 2
+        if args.allow_all or args.robots or args.robots_txt:
+            print(
+                "--robots-ttl-epochs needs discovered-robots mode "
+                "(drop --allow-all/--robots/--robots-txt)",
+                file=sys.stderr,
+            )
+            return 2
     if args.discover_sitemaps and (args.allow_all or args.robots or args.robots_txt):
         # the harvest reads Sitemap: lines out of the robots.txt the crawl
         # itself discovers — with a pre-supplied rules table (or robots
@@ -441,15 +449,14 @@ def cmd_export(args) -> int:
     )
     if args.notext:
         out = out.drop(text_col)
-    if args.partition_by:
-        bad = [c for c in args.partition_by if c not in out.columns]
+    pb = list(dict.fromkeys(args.partition_by))  # repeated flags dedupe
+    if pb:
+        bad = [c for c in pb if c not in out.columns]
         if bad:
             print(f"export: --partition-by column(s) {bad} not in output "
                   f"(have: {out.columns})", file=sys.stderr)
             return 2
-    _write_parquet_stats(
-        spark, out, args.out, partition_by=args.partition_by or None, **stats
-    )
+    _write_parquet_stats(spark, out, args.out, partition_by=pb or None, **stats)
     return 0
 
 

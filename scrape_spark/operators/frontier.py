@@ -188,6 +188,7 @@ class Crawl:
         self._epoch_caches: list[DataFrame] = []
         self._robots_delta_hosts = 0  # set per-epoch by _robots_for_epoch
         self._robots_raw_delta = None  # (host, robots_txt) for this epoch's NEW hosts
+        self._robots_prior_hosts = None  # hosts ever fetched (pre-TTL-expiry)
         os.makedirs(os.path.join(state_dir, "epochs"), exist_ok=True)
 
     # ---- checkpoint bookkeeping -------------------------------------------
@@ -470,8 +471,14 @@ class Crawl:
             state = self.spark.read.schema(state_schema).parquet(path)
         else:
             state = self.spark.createDataFrame([], state_schema)
+        # hosts EVER fetched, pre-expiry: the sitemap harvest keys on this so
+        # a TTL refetch (rules refresh) does not re-harvest a known host's
+        # sitemaps — "sitemaps once per host" survives robots_ttl_epochs
+        self._robots_prior_hosts = state.select("host")
         ttl = self.cfg.robots_ttl_epochs
-        if ttl:
+        if ttl is not None:
+            if ttl < 1:
+                raise ValueError("robots_ttl_epochs must be >= 1 (or None)")
             state = state.filter(
                 F.coalesce(F.col("robots_epoch"), F.lit(-(1 << 30)))
                 > F.lit(epoch - ttl)
@@ -582,8 +589,16 @@ class Crawl:
             sitemap_urls_from_robots,
         )
 
+        # genuinely-new hosts only: a robots TTL refetch puts known hosts
+        # back in the raw delta, but their sitemaps were already harvested
+        # the epoch they first appeared
+        fresh_hosts = self._robots_raw_delta
+        if self._robots_prior_hosts is not None:
+            fresh_hosts = fresh_hosts.join(
+                self._robots_prior_hosts, "host", "left_anti"
+            )
         sm_urls = (
-            sitemap_urls_from_robots(self._robots_raw_delta)
+            sitemap_urls_from_robots(fresh_hosts)
             .select(F.col("sitemap_url").alias("url"))
             .distinct()
             .cache()
@@ -636,6 +651,7 @@ class Crawl:
         cfg = self.cfg
         self._epoch_caches = []
         self._robots_raw_delta = None
+        self._robots_prior_hosts = None
         prev = self._edir(epoch)
         frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             os.path.join(prev, "frontier.parquet")

@@ -441,3 +441,27 @@ def test_export_partition_by_lang(spark, capsys, tmp_path):
     assert len(parts) >= 2  # hive layout, one dir per detected language
     assert main(["export", "--docs", docs, "--out", out,
                  "--partition-by", "nope"]) == 2
+
+
+def test_export_partition_by_empty_result_and_dupes(spark, capsys, tmp_path):
+    """A gate that filters every row still prints rows:0 with a partitioned
+    output (no schema-inference crash on the _SUCCESS-only dir); repeated
+    --partition-by flags dedupe instead of dying in Spark."""
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        20
+    ).write.parquet(docs)
+    out = str(tmp_path / "empty")
+    assert main(["export", "--docs", docs, "--out", out, "--notext",
+                 "--partition-by", "lang", "--lang", "zz"]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 0
+    out2 = str(tmp_path / "dup")
+    assert main(["export", "--docs", docs, "--out", out2, "--notext",
+                 "--partition-by", "lang", "--partition-by", "lang"]) == 0
+    assert json.loads(capsys.readouterr().out)["partition_by"] == ["lang"]
+
+
+def test_robots_ttl_argument_bounds(capsys):
+    assert main(["crawl", "--pages", "x", "--state", "s", "--store", "t",
+                 "--robots-ttl-epochs", "0", "u"]) == 2
+    assert ">= 1" in capsys.readouterr().err

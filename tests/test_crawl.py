@@ -831,3 +831,41 @@ def test_robots_ttl_expires_and_refetches(spark, tmp_path_factory, pages):
     # identical crawl over a static corpus; robots stay enforced
     assert k_ttl == k_off
     assert d_ttl == set() and d_off == set()
+
+
+def test_robots_ttl_does_not_reharvest_sitemaps(spark, tmp_path_factory, pages):
+    """robots_ttl_epochs + discover_sitemaps: a TTL refetch refreshes a
+    host's RULES but must not re-harvest its sitemaps — the harvest probe
+    anti-joins the pre-expiry state hosts, so per-epoch sitemap cost stays
+    ∝ genuinely-new hosts."""
+    from scrape_spark.schemas import FRONTIER_SCHEMA
+    from scrape_spark.sources.pages import robots_txt_pages
+
+    corpus = pages.unionByName(robots_txt_pages(spark, N_HOSTS))
+    tmpdir = str(tmp_path_factory.mktemp("ttl_sitemaps"))
+    crawl = Crawl(
+        spark, f"{tmpdir}/state",
+        UrlStore(spark, f"{tmpdir}/store", n_buckets=8),
+        corpus, None,
+        CrawlConfig(epoch_seconds=EPOCH_SECONDS, max_depth=6, n_buckets=8,
+                    shuffle_partitions=4, robots_ttl_epochs=1,
+                    discover_sitemaps=True),
+    )
+    crawl.run(2, seeds=seed_urls(N_HOSTS))
+    # epoch 1: every seed host was refetched by the TTL (it's in the raw
+    # delta), but none is NEW — the harvest stage must see zero fresh hosts
+    crawl._epoch_caches = []
+    crawl._robots_raw_delta = None
+    crawl._robots_prior_hosts = None
+    frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+        f"{crawl.state_dir}/epochs/e00002/frontier.parquet"
+    )
+    crawl._robots_for_epoch(2, frontier).localCheckpoint()
+    assert crawl._robots_delta_hosts > 0  # TTL put hosts back in the delta
+    fresh = crawl._robots_raw_delta.join(
+        crawl._robots_prior_hosts, "host", "left_anti"
+    )
+    assert fresh.limit(1).count() == 0  # ...but none is sitemap-fresh
+    for df in crawl._epoch_caches:
+        df.unpersist()
+    shutil.rmtree(tmpdir, ignore_errors=True)
