@@ -248,14 +248,41 @@ def test_auto_probe_strategy_gate(spark, pages, monkeypatch):
     # Long.MaxValue estimate reads as unknown corpus, not huge corpus
     assert bx.choose_probe_strategy(bx.CORPUS_SHUFFLE_BYTES, None) is False
     assert bx.choose_probe_strategy(1 << 62, 100) is False
+    # probe-side-small arm (r6): a provably tiny probe estimate broadcasts
+    # at ANY corpus size; implausible/unknown estimates never do
+    assert bx.choose_probe_strategy(1 << 20, None, probe_bytes=1 << 20) is True
+    assert bx.choose_probe_strategy(None, None, probe_bytes=1 << 20) is True
+    assert bx.choose_probe_strategy(
+        1 << 20, None, probe_bytes=bx.PROBE_BROADCAST_BYTES + 1
+    ) is False
+    assert bx.choose_probe_strategy(1 << 20, None, probe_bytes=None) is False
 
     req = bx.prepare_requests(
         _req_df(spark, [page_url(0, 1), "https://missing.test/x"])
     ).withColumn("__fetch_method", F.lit(1))
 
-    # default thresholds: this test corpus is tiny → plain join
+    # a createDataFrame request frame is RDD-backed — Catalyst reports
+    # Long.MaxValue, which must read as UNKNOWN probe size → plain join
     out_plain = bx.fetch_join(req, pages, probe_rows_hint=2)
     assert out_plain._scrape_probe_strategy == "plain"
+
+    # a parquet-backed request frame carries a real (tiny) size estimate →
+    # the probe-side-small arm picks the decomposed plan at any corpus size
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        _req_df(spark, [page_url(0, 1), "https://missing.test/x"]).write.mode(
+            "overwrite"
+        ).parquet(f"{td}/req")
+        req_pq = bx.prepare_requests(spark.read.parquet(f"{td}/req")).withColumn(
+            "__fetch_method", F.lit(1)
+        )
+        out_small = bx.fetch_join(req_pq, pages, probe_rows_hint=2)
+        assert out_small._scrape_probe_strategy == "decomposed"
+        # probe-side arm disabled → back to the mid-size default (plain)
+        monkeypatch.setattr(bx, "PROBE_BROADCAST_BYTES", -1)
+        out_mid = bx.fetch_join(req_pq, pages, probe_rows_hint=2)
+        assert out_mid._scrape_probe_strategy == "plain"
 
     # corpus "large" (threshold forced down): decomposed plan chosen,
     # visible in the physical plan as the left-anti arm of the union
