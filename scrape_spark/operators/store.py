@@ -419,18 +419,26 @@ class ManifestTable:
         except Exception:  # pragma: no cover - footer unreadable ⇒ no stats
             return None
 
-    def _write_files(self, df: DataFrame, seq: int) -> dict[str, list[dict]]:
+    def _write_files(
+        self, df: DataFrame, seq: int, pre_bucketed: bool = False
+    ) -> dict[str, list[dict]]:
         """Write df (must carry BUCKET_COL) as one file set; return
         bucket → [{path, bytes, seq, stats}] with sizes and column min/max
         recorded NOW (commit-time is the only moment the table layer ever
-        stats a data file or opens a footer)."""
+        stats a data file or opens a footer).
+
+        ``pre_bucketed=True`` promises the caller already hash-partitioned
+        df by BUCKET_COL (the merge path, whose dedupe aggregation runs on
+        that same partitioning) — the repartition exchange is skipped, so
+        the payload crosses exactly one shuffle on the whole commit."""
         out_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         # hash-partitioning n_buckets distinct ids collides some buckets into
         # one write task (balls-in-bins, ~2x straggler at 64 buckets/32
         # cores) — accepted: co-locating each bucket in ONE task is what
         # keeps the one-file-per-bucket commit layout, and the write stage
         # is delta-sized, not table-sized
-        df = df.repartition(BUCKET_COL)
+        if not pre_bucketed:
+            df = df.repartition(BUCKET_COL)
         if self.stats_cols:
             # order rows within each file by the stats columns (reference
             # analog: the (expires DESC, ...) index, 00001_init.sql:30-33):
@@ -475,18 +483,28 @@ class ManifestTable:
         prev = self.current_snapshot()
         return 0 if prev is None else prev + 1
 
-    def append_buckets(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+    def append_buckets(
+        self,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        pre_bucketed: bool = False,
+    ) -> int:
         """MERGE-ON-READ commit: append df's rows as new delta files on each
         touched bucket's manifest list. Commit cost (shuffle + write + stat)
         is ∝ the delta — the existing store is never read or rewritten.
         df must carry at most one row per key (callers dedupe); conflicts
         with prior generations resolve at read time via (order_col, seq).
         An empty delta commits nothing (the write itself reports emptiness —
-        no separate count action)."""
+        no separate count action). ``pre_bucketed``: df already carries a
+        correct BUCKET_COL and is hash-partitioned by it (see _write_files)."""
         snap = self._next_snap()
-        new_files = self._write_files(
-            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)), snap
-        )
+        if pre_bucketed:
+            new_files = self._write_files(df, snap, pre_bucketed=True)
+        else:
+            new_files = self._write_files(
+                df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)),
+                snap,
+            )
         if not new_files:
             cur = self.current_snapshot()
             return cur if cur is not None else self.truncate(meta)
@@ -694,6 +712,30 @@ class ManifestTable:
         return total
 
 
+def merge_delta_plan(
+    new_rows: DataFrame, key_col: str, order_col: str | None, n_buckets: int
+) -> DataFrame:
+    """The single-exchange merge delta: bucket → repartition(bucket) →
+    per-(bucket, key) max_by dedupe reusing that partitioning (see
+    UrlStore._merge_table). Exposed for plan assertions in tests."""
+    new_rows = new_rows.where(F.col(key_col).isNotNull())
+    cols = new_rows.columns
+    ord_fields = [F.col(order_col)] if order_col else [F.lit(0)]
+    bucketed = new_rows.withColumn(
+        BUCKET_COL, bucket_expr(key_col, n_buckets)
+    ).repartition(BUCKET_COL)
+    return (
+        bucketed.groupBy(BUCKET_COL, key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols if c != key_col]),
+                F.struct(*ord_fields),
+            ).alias("__row")
+        )
+        .select(BUCKET_COL, key_col, "__row.*")
+    )
+
+
 class UrlStore:
     """The reference's URLDataStore re-expressed over two ManifestTables."""
 
@@ -774,25 +816,22 @@ class UrlStore:
         reference's O(delta) ``REPLACE INTO`` (storage.go:29-30). Conflicts
         with earlier generations resolve at read time by (order_col, seq);
         within this one commit, the max_by below keeps the newest row per
-        key (hash aggregate, map-side combinable — no per-key sort, the
-        shape that survives hot-key skew at 100 TB). ONE Spark action total
-        (the delta write) — emptiness is detected from the write result, and
-        intra-delta dedupe happens here only (callers must NOT pre-dedupe:
-        two shuffles for one invariant)."""
-        new_rows = new_rows.where(F.col(key_col).isNotNull())
-        cols = new_rows.columns
-        ord_fields = [F.col(order_col)] if order_col else [F.lit(0)]
-        deduped = (
-            new_rows.groupBy(key_col)
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in cols if c != key_col]),
-                    F.struct(*ord_fields),
-                ).alias("__row")
-            )
-            .select(key_col, "__row.*")
-        )
-        return table.append_buckets(deduped, meta=meta)
+        key (map-side combinable — no pre-sorted input required, the shape
+        that survives hot-key skew at 100 TB).
+
+        The payload crosses exactly ONE exchange: rows are hash-partitioned
+        by BUCKET_COL up front, and because ``bucket = pmod(key, n)`` is a
+        function of the key, that partitioning already clusters every key —
+        the ``groupBy(bucket, key)`` dedupe reuses it (HashPartitioning on a
+        subset of the grouping keys satisfies the aggregate's required
+        distribution) and the bucketed file write needs no second
+        repartition. The previous shape paid two full-payload shuffles
+        (groupBy(key) + repartition(bucket)) for the same commit. ONE Spark
+        action total (the delta write) — emptiness is detected from the
+        write result, and intra-delta dedupe happens here only (callers
+        must NOT pre-dedupe: two shuffles for one invariant)."""
+        deduped = merge_delta_plan(new_rows, key_col, order_col, table.n_buckets)
+        return table.append_buckets(deduped, meta=meta, pre_bucketed=True)
 
     # -- read (S6 + J1 + F3) ---------------------------------------------------
     def resolve_keys(self, requested: DataFrame, key_col: str = "key") -> DataFrame:

@@ -642,3 +642,30 @@ def test_read_since_none_and_broken_history_fall_back_to_full(spark, store):
     # expired history breaks the parent walk ⇒ full read, never wrong
     store.urls.expire_snapshots(keep_last=1)
     assert store.urls.read_since(pin).count() == 2
+
+
+def test_merge_delta_single_exchange(spark, tmp_path):
+    """r6 optimization pin: a MERGE's payload must cross exactly ONE
+    shuffle. The delta is hash-partitioned by bucket up front; because
+    bucket = pmod(key, n) is a function of the key, the per-(bucket, key)
+    dedupe aggregate reuses that partitioning and the bucketed file write
+    needs no second repartition — the physical plan carries a single
+    Exchange node, and the dedupe still keeps the newest row per key."""
+    from pyspark.sql import functions as F
+
+    from scrape_spark.operators.store import merge_delta_plan
+
+    src = tmp_path / "delta_src"
+    spark.range(1000).select(
+        (F.col("id") % 100).alias("key"),
+        F.col("id").alias("fetch_time"),
+        (F.col("id") * 2).alias("payload"),
+    ).write.parquet(str(src))
+    rows = spark.read.parquet(str(src))
+    delta = merge_delta_plan(rows, "key", "fetch_time", n_buckets=16)
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = {r["key"]: (r["fetch_time"], r["payload"]) for r in delta.collect()}
+    assert len(got) == 100
+    # newest (max fetch_time) row per key survives: key k keeps id 900+k
+    assert got[7] == (907, 1814)
