@@ -391,7 +391,15 @@ def embedding_neardup_pairs(
             {"g": [int(pdf["g"].iloc[0])], "ids": [ids.tolist()], "mat": [mat.ravel().tolist()]}
         )
 
-    blocks = base.groupBy("g").applyInPandas(_pack, schema=pack_schema)
+    # Materialize the packed blocks ONCE (lazy local checkpoint): the a/b
+    # join branches below are two independent consumers of this plan, and
+    # without the checkpoint each re-ran the normalize+shuffle+pack Python
+    # stage (measured 1.7 s → 1.25 s at sf0.1; the win grows with n since
+    # the pack stage is O(n·dim)). Same pattern as connected_components —
+    # on a cluster swap for a reliable checkpoint if executor loss matters.
+    blocks = base.groupBy("g").applyInPandas(_pack, schema=pack_schema).localCheckpoint(
+        eager=False
+    )
 
     # unordered block-pair keys (ga <= gb): B(B+1)/2 rows, pure JVM
     pair_keys = (
