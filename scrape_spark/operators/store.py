@@ -845,11 +845,42 @@ class UrlStore:
         batch's keys hash to are even opened), then broadcast ONLY when the
         pruned slice is provably small by manifest file size; otherwise it is
         a plain equi-join and AQE picks the physical strategy."""
-        buckets = self.id_map.touched_buckets(requested.select(F.col(key_col).alias(self.id_map.key_col)))
-        id_map = self.id_map.read(buckets=buckets)
-        if self.id_map.bytes_in_buckets(buckets) <= self.broadcast_threshold_bytes:
+        resolved, _ = self.resolve_keys_pruned(requested, key_col, probe_buckets=False)
+        return resolved
+
+    def resolve_keys_pruned(
+        self, requested: DataFrame, key_col: str = "key", probe_buckets: bool = True
+    ) -> tuple[DataFrame, list[int] | None]:
+        """resolve_keys + the url-store probe bucket set in one batch pass.
+
+        The batch's distinct buckets are computed ONCE and serve both
+        tables (urls and id_map share n_buckets, so pmod(key, n) is the
+        same bucket either way). The canonical-side buckets come from the
+        already-pruned id_map slice (rows ∝ the batch's aliases), NOT from
+        re-evaluating the resolve join over the whole batch — the previous
+        shape ran the request pipeline + join a second time just to learn
+        which buckets to open (r6; measured ~0.5 s/batch at sf0.1). The
+        returned bucket list is a superset of the exact canonical-key
+        buckets (requested ∪ alias-target buckets) — pruning stays an
+        optimization, never a correctness gate."""
+        req_buckets = self.id_map.touched_buckets(
+            requested.select(F.col(key_col).alias(self.id_map.key_col))
+        )
+        id_map = self.id_map.read(buckets=req_buckets)
+        probe: list[int] | None = None
+        if probe_buckets:
+            canon = (
+                id_map.select(
+                    bucket_expr("canonical_id", self.urls.n_buckets).alias("b")
+                )
+                .where(F.col("b").isNotNull())
+                .distinct()
+                .collect()
+            )
+            probe = sorted(set(req_buckets) | {r.b for r in canon})
+        if self.id_map.bytes_in_buckets(req_buckets) <= self.broadcast_threshold_bytes:
             id_map = F.broadcast(id_map)
-        return (
+        resolved = (
             requested.join(
                 id_map,
                 requested[key_col] == id_map["requested_id"],
@@ -858,6 +889,7 @@ class UrlStore:
             .withColumn("canonical_key", F.coalesce(F.col("canonical_id"), F.col(key_col)))
             .drop("requested_id", "canonical_id")
         )
+        return resolved, probe
 
     def fetch(self, urls: list[str]) -> DataFrame:
         """Point/batch lookup: clean → key → alias-resolve → bucket-pruned

@@ -522,21 +522,24 @@ def batch_extract(
         results = fetch_and_extract(req, pages, ttl_seconds=30 * 24 * 3600)
         return results
 
-    req = req.cache()  # probed twice: id_map bucket prune + store bucket prune
-    resolved = store.resolve_keys(req)
+    req = req.cache()  # consumed by the bucket-prune pass, hits, and misses
     # Bucket-pruned cache probe: the store is hash-bucketed by key, so a batch
     # only opens the buckets its canonical keys hash to — at 100 TB a batch
-    # never pays a full-table scan (same pattern as UrlStore.fetch).
-    probe_buckets = store.urls.touched_buckets(
-        resolved.select(F.col("canonical_key").alias("key"))
-    )
+    # never pays a full-table scan (same pattern as UrlStore.fetch). One
+    # pass over the batch discovers the buckets for BOTH tables (r6).
+    resolved, probe_buckets = store.resolve_keys_pruned(req)
     fresh = store.urls.read(buckets=probe_buckets).filter(
         F.col("expires") > F.current_timestamp()
     )
     fresh = fresh.select([F.col(c).alias(f"s_{c}") for c in fresh.columns])
+    # NOT cached (r6): the hit branch needs the store payload once, and the
+    # miss branch's s_key-null filter prunes the store side to a
+    # (key, expires) column scan — materializing the full hit payload to
+    # block storage cost more than the second pruned scan at every
+    # measured size (req stays cached, the id_map side is a broadcast).
     joined = resolved.join(
         fresh, resolved["canonical_key"] == fresh["s_key"], "left"
-    ).cache()
+    )
 
     hits = joined.filter(F.col("s_key").isNotNull())
     hit_results = _as_result(
@@ -586,7 +589,6 @@ def batch_extract(
         # caches are dead weight (leaking one per batch degrades long
         # sessions / crawl loops)
         req.unpersist()
-        joined.unpersist()
         if own_pages is not None:
             own_pages.unpersist()
     return results
