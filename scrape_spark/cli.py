@@ -110,9 +110,12 @@ def cmd_extract(args) -> int:
         # explicit URLs the whole dump is the request set — the CC-to-corpus
         # journey is `extract --warc ... --store S --out R` then `export`.
         # latest_captures collapses recrawl duplicates (newest warc_ts wins).
+        # Persisted: the frame is consumed as BOTH the request set and the
+        # pages corpus, and without it the per-record Python WARC parse plus
+        # the max_by shuffle would execute once per side of the fetch join.
         from scrape_spark.sources.warc import latest_captures, warc_pages
 
-        pages = latest_captures(warc_pages(spark, args.warc))
+        pages = latest_captures(warc_pages(spark, args.warc)).persist()
     else:
         print("extract needs --pages/--warc (corpus) or --live", file=sys.stderr)
         return 2
@@ -297,9 +300,11 @@ def cmd_crawl(args) -> int:
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     elif args.warc:
+        # persisted: every crawl epoch probes this corpus — without it the
+        # expensive per-record WARC parse would re-execute per epoch
         from scrape_spark.sources.warc import latest_captures, warc_pages
 
-        pages = latest_captures(warc_pages(spark, args.warc))
+        pages = latest_captures(warc_pages(spark, args.warc)).persist()
     else:
         print("crawl needs --pages/--warc (corpus) or --live", file=sys.stderr)
         return 2

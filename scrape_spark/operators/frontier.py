@@ -238,7 +238,7 @@ class Crawl:
         """True when the written epoch-0 frontier holds at least one row —
         a DataFrame seeding path (seed_df) can legitimately produce zero
         rows and callers should fail loudly rather than run a 0-page crawl.
-        Parquet-footer metadata read, no Spark job over the data."""
+        One cheap Spark job (a one-row limit scan), run once at startup."""
         path = os.path.join(self._edir(0), "frontier.parquet")
         return (
             os.path.isdir(path)

@@ -63,6 +63,13 @@ from scrape_spark.schemas import DEFAULT_TTL_SECONDS, ID_MAP_SCHEMA, URL_STORE_S
 BUCKET_COL = "__bucket"
 
 
+class SnapshotExpiredError(OSError):
+    """Raised when a reader pins a snapshot whose manifest no longer exists
+    (dropped by expire_snapshots). Subclasses OSError so existing
+    conservative fallbacks (commit_metas_between, read_since) keep
+    treating it as 'history unavailable'."""
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
 
@@ -188,7 +195,17 @@ class ManifestTable:
         snap = self.current_snapshot() if snap is None else snap
         if snap is None:
             return {"snapshot": -1, "files": {}, "meta": {}}
-        man = json.loads(self.io.read_text(self._manifest_path(snap)))
+        try:
+            text = self.io.read_text(self._manifest_path(snap))
+        except OSError as e:
+            # a pinned-but-expired snapshot (expire_snapshots dropped it)
+            # must fail with a diagnosable error, not a bare file error —
+            # e.g. crawl resume re-reading a pin after maintain --expire-keep
+            raise SnapshotExpiredError(
+                f"snapshot {snap} of {self.root} is not available "
+                f"(expired by expire_snapshots, or never committed)"
+            ) from e
+        man = json.loads(text)
         # normalize legacy entries (bare path strings) to sized+sequenced dicts
         for b, fl in man["files"].items():
             man["files"][b] = [

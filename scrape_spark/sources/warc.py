@@ -128,10 +128,18 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[bytes, bytes], bytes]]:
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
             clen = None
-        hdr_end = raw.find(_CRLF2, nxt)
-        if hdr_end < 0:
+        # header/body boundary: CRLFCRLF per spec, bare LFLF tolerated at
+        # the framing layer too (matching _split_headers — previously the
+        # tolerance only applied to header parsing, so a bare-LF WARC
+        # misframed); whichever separator occurs first wins
+        crlf_end = raw.find(_CRLF2, nxt)
+        lf_end = raw.find(b"\n\n", nxt)
+        if crlf_end < 0 and lf_end < 0:
             return
-        body_start = hdr_end + 4
+        if lf_end < 0 or (0 <= crlf_end <= lf_end):
+            hdr_end, body_start = crlf_end, crlf_end + 4
+        else:
+            hdr_end, body_start = lf_end, lf_end + 2
         if clen is not None and body_start + clen <= n:
             yield headers, raw[body_start : body_start + clen]
             pos = body_start + clen
@@ -148,7 +156,21 @@ _STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
 
 def parse_warc_segment(raw: bytes) -> pd.DataFrame:
     """One WARC segment's bytes → a pandas frame of PAGES_FETCH_SCHEMA
-    columns (response records only)."""
+    columns (response records only). Convenience wrapper over
+    parse_warc_frames for tests/small segments — production tasks stream
+    the chunked frames instead of accumulating the whole segment."""
+    frames = list(parse_warc_frames(raw, chunk_records=1 << 62))
+    return frames[0] if frames else _rows_frame([])
+
+
+def parse_warc_frames(
+    raw: bytes, chunk_records: int = 2000
+) -> Iterator[pd.DataFrame]:
+    """Yield PAGES_FETCH_SCHEMA frames of at most ``chunk_records`` response
+    records each (guide §5: a ~1 GiB gz segment inflates to several GiB —
+    accumulating every record's decoded body in one Python list before
+    framing doubled the task's peak memory; chunked yields bound the
+    decoded-row buffer while the Arrow writer drains each chunk)."""
     rows: list[dict] = []
     for wh, block in iter_warc_records(raw):
         if wh.get(b"warc-type", b"").lower() != b"response":
@@ -176,6 +198,14 @@ def parse_warc_segment(raw: bytes) -> pd.DataFrame:
                 ),
             }
         )
+        if len(rows) >= chunk_records:
+            yield _rows_frame(rows)
+            rows = []
+    if rows:
+        yield _rows_frame(rows)
+
+
+def _rows_frame(rows: list[dict]) -> pd.DataFrame:
     df = pd.DataFrame(
         rows,
         columns=[
@@ -198,9 +228,12 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for raw in pdf["content"]:
-                out = parse_warc_segment(bytes(raw))
-                if len(out):
-                    yield out
+                # stream bounded chunks instead of one whole-segment frame:
+                # peak task memory is the decompressed segment + one chunk,
+                # not the segment + every decoded body at once (guide §5)
+                for out in parse_warc_frames(bytes(raw)):
+                    if len(out):
+                        yield out
 
     return seg.mapInPandas(run, schema=PAGES_FETCH_SCHEMA)
 

@@ -669,3 +669,22 @@ def test_merge_delta_single_exchange(spark, tmp_path):
     assert len(got) == 100
     # newest (max fetch_time) row per key survives: key k keeps id 900+k
     assert got[7] == (907, 1814)
+
+
+def test_expired_snapshot_read_raises_clear_error(spark, store):
+    """ADVICE r5: reading at a snapshot dropped by expire_snapshots must
+    raise a diagnosable SnapshotExpiredError (an OSError subclass so the
+    conservative history fallbacks keep working), not a bare file error."""
+    import pytest
+
+    from scrape_spark.operators.store import SnapshotExpiredError
+    from scrape_spark.schemas import ID_MAP_SCHEMA
+
+    t = store.id_map
+    for k in range(3):
+        t.append_buckets(spark.createDataFrame([(k, k * 10)], ID_MAP_SCHEMA))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpiredError, match="snapshot 0 .* not available"):
+        t.read(snapshot=0)
+    # the current snapshot still reads fine
+    assert t.read().count() == 3

@@ -164,3 +164,48 @@ def test_latest_captures_collapses_recrawls(spark):
     )
     got = {r.url: bytes(r.html) for r in latest_captures(df).collect()}
     assert got == {"https://wa.test/a": b"new", "https://wa.test/b": b"only"}
+
+
+def test_bare_lf_warc_frames_correctly():
+    """ADVICE r5: a WARC whose header/body separator is bare LF (not CRLF)
+    must frame records at the LFLF boundary — previously the tolerance only
+    existed in header parsing, so framing scanned past the record."""
+    from scrape_spark.sources.warc import iter_warc_records
+
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>hi</html>"
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://lf.test/a\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\n"
+        b"\n" + body + b"\n\n"
+    )
+    out = list(iter_warc_records(rec + rec))
+    assert len(out) == 2
+    for wh, block in out:
+        assert wh[b"warc-target-uri"] == b"https://lf.test/a"
+        assert block == body
+
+
+def test_parse_warc_frames_chunks_match_whole_segment(tmp_path):
+    """The chunked streaming parse must concatenate to exactly the
+    whole-segment parse (r6: bounded task memory, same rows)."""
+    import pandas as pd
+
+    from scrape_spark.sources.warc import parse_warc_frames, parse_warc_segment
+
+    recs = []
+    for i in range(7):
+        b = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>{i}</html>".encode()
+        recs.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: https://c.test/{i}\r\n".encode()
+            + f"Content-Length: {len(b)}\r\n".encode()
+            + b"\r\n" + b + b"\r\n\r\n"
+        )
+    raw = b"".join(recs)
+    whole = parse_warc_segment(raw)
+    chunked = pd.concat(list(parse_warc_frames(raw, chunk_records=3)), ignore_index=True)
+    assert len(whole) == 7
+    pd.testing.assert_frame_equal(whole, chunked)
