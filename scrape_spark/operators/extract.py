@@ -353,8 +353,16 @@ def _clean_content(scoped: pd.Series) -> pd.Series:
     # the literal scans are memchr-fast)
     for ent, ch in _ENTITIES:
         arr = pc.replace_substring(arr, pattern=ent, replacement=ch)
-    arr = pc.replace_substring_regex(arr, pattern=r"[ \t\r\f\v]+", replacement=" ")
-    arr = pc.replace_substring_regex(arr, pattern=r" ?\n ?", replacement="\n")
+    # The whitespace passes match ONLY runs that need rewriting: the naive
+    # `[ \t\r\f\v]+` fires at every single space and ` ?\n ?` at every bare
+    # newline, forcing a match+copy at each word boundary — the single most
+    # expensive pass of this chain (measured 0.95 → 0.38 s on the 54k-page
+    # corpus; byte-identical, incl. adversarial mixed-ws inputs: replacing a
+    # lone space with a space is the identity, and a bare \n maps to itself).
+    arr = pc.replace_substring_regex(
+        arr, pattern=r"[ \t\r\f\v]{2,}|[\t\r\f\v]", replacement=" "
+    )
+    arr = pc.replace_substring_regex(arr, pattern=r" \n ?|\n ", replacement="\n")
     arr = pc.replace_substring_regex(arr, pattern=r"\n{2,}", replacement="\n")
     arr = pc.utf8_trim_whitespace(arr)
     return pd.Series(arr.to_pandas().to_numpy(), index=scoped.index, dtype=object)
@@ -407,12 +415,22 @@ def extract_batch(
     h = raw.where(looks_html, "")
 
     # metadata lives in <head>; scoping the ~10 regex passes to that substring
-    # cuts total regex scanning ~3x (falls back to the whole doc when absent)
-    head = h.str.extract(r"(?is)<head[^>]*>(.*?)</head>", expand=False)
+    # cuts total regex scanning ~3x (falls back to the whole doc when absent).
+    # The span patterns here and below are the unrolled-loop form of the lazy
+    # `(.*?)</tag>`: `[^<]*(?:<(?!/tag>)[^<]*)*` consumes exactly up to the
+    # first `</tag>` (the (?i) flag covers the lookahead too), which Python's
+    # backtracking engine runs 3-4× faster than the lazy dot-all scan
+    # (measured 0.62 → 0.15 s per pattern on the 54k-page corpus,
+    # byte-identical incl. adversarial nesting/case/unclosed inputs).
+    head = h.str.extract(
+        r"(?is)<head[^>]*>([^<]*(?:<(?!/head>)[^<]*)*)</head>", expand=False
+    )
     head = head.fillna(h)
 
     title = _unescape(
-        head.str.extract(r"(?s)<title[^>]*>(.*?)</title>", expand=False)
+        head.str.extract(
+            r"(?s)<title[^>]*>([^<]*(?:<(?!/title>)[^<]*)*)</title>", expand=False
+        )
     ).str.strip()
     canonical = _meta(head, "property", "og:url")
     # canonical fallback (spec v3): <link rel="canonical" href="..."> — the
@@ -466,11 +484,16 @@ def extract_batch(
     # on rows without an <article>, and comment/script/boilerplate removal is
     # ONE alternation pass — this kernel is DRAM-bandwidth-bound at high
     # parallelism, so every full-text pass removed raises the scaling ceiling.
-    scoped = h.str.extract(r"(?is)<article[^>]*>(.*?)</article>", expand=False)
+    scoped = h.str.extract(
+        r"(?is)<article[^>]*>([^<]*(?:<(?!/article>)[^<]*)*)</article>",
+        expand=False,
+    )
     miss = scoped.isna()
     no_article = miss & looks_html
     if miss.any():
-        fallback = h[miss].str.extract(r"(?is)<body[^>]*>(.*?)</body>", expand=False)
+        fallback = h[miss].str.extract(
+            r"(?is)<body[^>]*>([^<]*(?:<(?!/body>)[^<]*)*)</body>", expand=False
+        )
         scoped = scoped.copy()
         scoped[miss] = fallback.fillna(h[miss])
     content = _clean_content(scoped)
