@@ -162,9 +162,11 @@ _HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^"'\s>][^\s>]*)
 # link classification (subset of RFC 3986 reference forms). Absolute needs
 # at least one authority char: a bare "https://" href is link noise, not a
 # fetchable URL (the pre-v4 pattern rejected it too; without the guard it
-# would flow through clean_url/url_key as an empty-host frontier row)
-_ABS_RE = r"(?i)https?://."
-_SCHEME_RE = r"(?i)[a-z][a-z0-9+.\-]*:"
+# would flow through clean_url/url_key as an empty-host frontier row).
+# Anchored RE2 form — evaluated by pyarrow's match_substring_regex, which
+# searches anywhere (pandas .str.match anchored implicitly).
+_ABS_RE = r"(?i)^https?://."
+_SCHEME_RE = r"(?i)^[a-z][a-z0-9+.\-]*:"
 
 
 def _resolve_links(lists: pd.Series, base: pd.Series | None) -> pd.Series:
@@ -189,14 +191,29 @@ def _resolve_flat(
 ) -> pd.Series:
     """Core of _resolve_links over the pre-flattened href array (``lens``
     gives each row's link count; ``index`` is the output row index)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n = len(lens)
     total = len(flat_np)
     if total == 0:
         return pd.Series([[] for _ in range(n)], index=index, dtype=object)
     rowid = np.repeat(np.arange(n), lens)
-    flat = pd.Series(flat_np)  # RangeIndex — unique, positional
+    # Form classification runs on Arrow buffers: the pandas .str accessor
+    # evaluates these masks as per-element Python calls (measured 0.1-0.2 s
+    # per mask over 318k hrefs), the Arrow kernels in ~5 ms. The href array
+    # is null-free by construction (re.findall groups yield '' not None).
+    flat_pa = pa.array(flat_np, type=pa.string())
     keep = np.full(total, None, dtype=object)
-    is_abs = flat.str.match(_ABS_RE).to_numpy(dtype=bool)
+    # pandas .str.match anchors at the start — mirror with an explicit ^
+    # fill_null(True) mirrors the pandas path's NaN→True bool cast: a null
+    # href rides the is_abs branch as a None value and is dropped by the
+    # final notna filter (and the rest-side arrays stay null-free).
+    is_abs = (
+        pc.match_substring_regex(flat_pa, _ABS_RE)
+        .fill_null(True)
+        .to_numpy(zero_copy_only=False)
+    )
     keep[is_abs] = flat_np[is_abs]
     rest_mask = ~is_abs
     if base is not None and rest_mask.any():
@@ -212,20 +229,24 @@ def _resolve_flat(
         pfull = comp["path"].where(comp["path"].str.len() > 0, "/").to_numpy(dtype=object)
 
         rid = rowid[rest_mask]
-        rest = pd.Series(flat_np[rest_mask])
         rest_np = flat_np[rest_mask]
-        starts_slash = rest.str.startswith("/").to_numpy(dtype=bool)
-        proto_rel = rest.str.startswith("//").to_numpy(dtype=bool)
+        rest_pa = pc.filter(flat_pa, pa.array(rest_mask))
+
+        def _np(mask_arr):
+            return mask_arr.to_numpy(zero_copy_only=False)
+
+        starts_slash = _np(pc.starts_with(rest_pa, pattern="/"))
+        proto_rel = _np(pc.starts_with(rest_pa, pattern="//"))
         root_rel = starts_slash & ~proto_rel
-        frag = rest.str.startswith("#").to_numpy(dtype=bool)
-        query = rest.str.startswith("?").to_numpy(dtype=bool)
-        empty = rest.str.len().eq(0).to_numpy(dtype=bool)
+        frag = _np(pc.starts_with(rest_pa, pattern="#"))
+        query = _np(pc.starts_with(rest_pa, pattern="?"))
+        empty = _np(pc.equal(rest_pa, ""))
         other_scheme = (
-            rest.str.match(_SCHEME_RE).to_numpy(dtype=bool)
+            _np(pc.match_substring_regex(rest_pa, _SCHEME_RE))
             & ~starts_slash & ~frag & ~query & ~empty
         )
         plain = ~(starts_slash | frag | query | other_scheme | empty)
-        ok = pd.Series(origin[rid]).notna().to_numpy(dtype=bool)  # parseable base
+        ok = pd.notna(origin[rid])  # parseable base
 
         sub = np.full(len(rest_np), None, dtype=object)
         m = proto_rel & ok
